@@ -1,0 +1,74 @@
+"""Render configuration.
+
+Mirrors the reference's ``Rendering_Config`` (main.odin:27-32) plus the
+TPU-specific execution knobs that replace the reference's thread/tile settings
+(raytracer.odin:525-526, main.odin:208-212).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (compile-time, shape-determining) render parameters.
+
+    Attributes:
+      width/height: output image dimensions (main.odin:199-204).
+      ray_depth: maximum path depth; depth 0 contributes nothing
+        (raytracer.odin:433).
+      samples: total samples per pixel; ``continuous`` renders ignore this and
+        run until interrupted (main.odin:207).
+      samples_per_step: samples per pixel computed in one jitted device step.
+        The TPU analogue of RENDERING_TILE_SAMPLES (raytracer.odin:526): the
+        unit of accumulation between host checks (interrupt, preview).
+      debug_features: when True, extra AOV layers are accumulated (normals,
+        depth, albedo, ...), matching the reference's 10 debug layers gated by
+        DEBUG_FEATURES (main.odin:17, main.odin:48).
+      intersector: "auto" | "bvh" | "brute". "auto" picks brute force for tiny
+        scenes and BVH traversal otherwise.
+      precision: "f32" (default; needed for the RMSE target) or "bf16"
+        (experimental fast path).
+    """
+
+    width: int = 512
+    height: int = 512
+    ray_depth: int = 8
+    samples: int = 1024
+    continuous: bool = False
+    samples_per_step: int = 4
+    seed: int = 0
+    debug_features: bool = True
+    intersector: str = "auto"
+    light_chunk: int = 256
+    brute_chunk: int = 512
+    brute_max_tris: int = 512
+    precision: str = "f32"
+    # Number of devices to shard the image over (None = all available).
+    num_devices: Optional[int] = None
+
+    @property
+    def num_layers(self) -> int:
+        # NUM_LAYERS :: 10 when DEBUG_FEATURES else 1 (main.odin:48)
+        return 10 if self.debug_features else 1
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# AOV layer assignments for debug_features mode. Layer 0 is always the beauty
+# render (main.odin:48, README.md:47-52 describe layers generically; the
+# specific AOVs are our choice since the reference's extra layers are written
+# ad hoc via debug_rc_set instrumentation).
+LAYER_BEAUTY = 0
+LAYER_NORMAL = 1       # first-hit shading normal, mapped to [0,1]
+LAYER_DEPTH = 2        # first-hit distance t
+LAYER_ALBEDO = 3       # first-hit material color
+LAYER_EMISSION = 4     # first-hit emission
+LAYER_UV = 5           # first-hit texcoords
+LAYER_BOUNCES = 6      # number of path vertices before termination
+LAYER_ANOMALY = 7      # firefly indicator: ||exitance||_1 > 1e3 (raytracer.odin:502)
+LAYER_PDF = 8          # first-bounce sampling pdf
+LAYER_MISS = 9         # primary-ray miss mask
