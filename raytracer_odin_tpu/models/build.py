@@ -1,0 +1,169 @@
+"""Scene finalization + device upload.
+
+`finish_scene` (raytracer.odin:62-91) equivalent: collect emissive triangles
+into the light list, build the flattened BVH (triangles re-ordered to match
+leaf ranges), pack the texture atlas, and assemble the DeviceScene pytree of
+jnp arrays.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytracer_odin_tpu.models.scene import (
+    DeviceBVH,
+    DeviceScene,
+    HostMaterial,
+    HostScene,
+    HostTexture,
+)
+from raytracer_odin_tpu.ops import bvh as bvh_mod
+from raytracer_odin_tpu.ops import texture as texture_mod
+from raytracer_odin_tpu.ops.geometry import aabb_of_triangles
+
+EMISSIVE_EPS = 1e-6  # raytracer.odin:64
+
+
+def finish_scene(host: HostScene, env_map: HostTexture | None = None,
+                 verbose: bool = False) -> DeviceScene:
+    """Build light list + BVH and upload everything as a DeviceScene."""
+    n_tri = host.num_triangles
+
+    # Emissive-material mask per triangle (raytracer.odin:63-66).
+    if host.materials:
+        mat_emission = np.stack([m.emission_factor for m in host.materials])
+    else:
+        mat_emission = np.zeros((1, 3), np.float32)
+        host.materials = [HostMaterial()]
+    emissive_mat = np.abs(mat_emission).sum(axis=1) > EMISSIVE_EPS
+    light_sel = emissive_mat[host.mat_index] if n_tri else np.zeros(0, bool)
+
+    light_p = host.p[light_sel]
+    light_u = host.u[light_sel]
+    light_v = host.v[light_sel]
+    light_ng = host.ng[light_sel]
+    cross = np.cross(light_u, light_v)
+    area2 = np.linalg.norm(cross, axis=-1)  # |cross| = 2 * area
+    light_pdf_factor = 2.0 / np.where(area2 > 0, area2, 1.0)
+
+    # Main BVH (the light "BVH" role — bounding the light-pdf walk — is
+    # covered by the chunked brute-force sweep in ops/shading.light_pdf_sum,
+    # which is the TPU-regular replacement of shading.odin:62-94).
+    t0 = time.perf_counter()
+    lo, hi = aabb_of_triangles(host.p, host.u, host.v)
+    flat = bvh_mod.build_flat_bvh(lo, hi)
+    if verbose:
+        print(f"Scene BVH built in {time.perf_counter() - t0:.3f}s "
+              f"({flat.num_nodes} nodes over {n_tri} triangles)")
+
+    perm = flat.perm if n_tri else np.zeros(0, np.int64)
+
+    # Permute triangles into BVH leaf order.
+    def g(a):
+        return np.asarray(a)[perm] if n_tri else np.asarray(a)
+
+    tri_n = np.stack([g(host.n1), g(host.n2), g(host.n3)], axis=1) if n_tri else np.zeros((0, 3, 3), np.float32)
+    tri_tex = np.stack([g(host.tex1), g(host.tex2), g(host.tex3)], axis=1) if n_tri else np.zeros((0, 3, 2), np.float32)
+    tri_tan = np.stack([g(host.tan1), g(host.tan2), g(host.tan3)], axis=1) if n_tri else np.zeros((0, 3, 4), np.float32)
+
+    # Materials SoA.
+    mats = host.materials
+    mat_color = np.stack([m.color_factor for m in mats]).astype(np.float32)
+    mat_emission = np.stack([m.emission_factor for m in mats]).astype(np.float32)
+    mat_metallic = np.array([m.metallic_factor for m in mats], np.float32)
+    mat_roughness = np.array([m.roughness_factor for m in mats], np.float32)
+    mat_tex = np.array(
+        [
+            [m.color_tex, m.emission_tex, m.metallic_roughness_tex, m.normal_tex]
+            for m in mats
+        ],
+        np.int32,
+    )
+
+    # Texture atlas; the env map is appended as one more atlas entry.
+    textures = list(host.textures)
+    env_tex_id = -1
+    if env_map is not None:
+        env_tex_id = len(textures)
+        textures.append(env_map)
+    atlas = texture_mod.build_atlas(textures)
+
+    # Pallas intersector layout: packed triangle rows + treelet-cluster AABBs
+    # over the BVH-permuted order (tight clusters for bundle culling).
+    from raytracer_odin_tpu.ops import culling as culling_mod
+    from raytracer_odin_tpu.ops import pallas_intersect as pi
+
+    ptri = pi.pad_triangles(g(host.p), g(host.u), g(host.v))
+    if n_tri:
+        plo, phi = aabb_of_triangles(g(host.p), g(host.u), g(host.v))
+    else:
+        plo = np.zeros((0, 3), np.float32)
+        phi = np.zeros((0, 3), np.float32)
+    cl_lo, cl_hi = culling_mod.cluster_aabbs(plo, phi)
+
+    # One 64-float shading row per triangle: geometry + shading attrs +
+    # inlined material (materials are per-primitive in the reference,
+    # input.odin:161-162, so inlining loses nothing). Column layout below
+    # must match ops/integrator.SHADE_ROW.
+    tmat = g(host.mat_index) if n_tri else np.zeros(0, np.int32)
+    shade_row = np.zeros((n_tri, 64), np.float32)
+    if n_tri:
+        shade_row[:, 0:3] = g(host.p)
+        shade_row[:, 3:6] = g(host.u)
+        shade_row[:, 6:9] = g(host.v)
+        shade_row[:, 9:12] = g(host.ng)
+        shade_row[:, 12:21] = tri_n.reshape(n_tri, 9)
+        shade_row[:, 21:27] = tri_tex.reshape(n_tri, 6)
+        shade_row[:, 27:39] = tri_tan.reshape(n_tri, 12)
+        shade_row[:, 39:42] = mat_color[tmat]
+        shade_row[:, 42:45] = mat_emission[tmat]
+        shade_row[:, 45] = mat_metallic[tmat]
+        shade_row[:, 46] = mat_roughness[tmat]
+        shade_row[:, 47:51] = mat_tex[tmat].astype(np.float32)
+
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    i32 = lambda a: jnp.asarray(a, jnp.int32)
+
+    return DeviceScene(
+        tri_p=f32(g(host.p)),
+        tri_u=f32(g(host.u)),
+        tri_v=f32(g(host.v)),
+        tri_ng=f32(g(host.ng)),
+        tri_n=f32(tri_n),
+        tri_tex=f32(tri_tex),
+        tri_tan=f32(tri_tan),
+        tri_mat=i32(g(host.mat_index)),
+        mat_color=f32(mat_color),
+        mat_emission=f32(mat_emission),
+        mat_metallic=f32(mat_metallic),
+        mat_roughness=f32(mat_roughness),
+        mat_tex=i32(mat_tex),
+        tex_texels=f32(atlas["tex_texels"]),
+        tex_offset=i32(atlas["tex_offset"]),
+        tex_width=i32(atlas["tex_width"]),
+        tex_height=i32(atlas["tex_height"]),
+        light_p=f32(light_p),
+        light_u=f32(light_u),
+        light_v=f32(light_v),
+        light_ng=f32(light_ng),
+        light_pdf_factor=f32(light_pdf_factor),
+        light_mask=f32(np.ones(light_p.shape[0], np.float32)),
+        ptri=f32(ptri),
+        cluster_lo=f32(cl_lo),
+        cluster_hi=f32(cl_hi),
+        shade_row=f32(shade_row),
+        bvh=DeviceBVH(
+            lo=f32(flat.lo),
+            hi=f32(flat.hi),
+            first=i32(flat.first),
+            count=i32(flat.count),
+            hit_link=i32(flat.hit_link),
+            miss_link=i32(flat.miss_link),
+        ),
+        cam_pos=f32(host.cam.pos),
+        cam_basis=f32(host.cam.basis),
+        env_tex=i32(env_tex_id),
+    )

@@ -174,6 +174,15 @@ class DeviceScene:
     # Acceleration:
     bvh: DeviceBVH
     light_mask: Any           # [L] 1.0 for real lights, 0 for padding
+    # Pallas intersector data (ops/pallas_intersect.py, ops/culling.py):
+    ptri: Any                 # [Tpad, 12] packed p/u/v rows, LEAF-padded
+    cluster_lo: Any           # [C, 3] treelet-cluster AABBs
+    cluster_hi: Any           # [C, 3]
+    # Hit-shading row: all per-triangle attributes + the (per-primitive)
+    # material inlined, so material evaluation is ONE contiguous row-gather
+    # per hit instead of ~10 scattered gathers (see SHADE_ROW_* in
+    # models/build.py for the column layout):
+    shade_row: Any            # [T, 64] f32
     # Camera (traced values; fov kept static on the python side too):
     cam_pos: Any              # [3]
     cam_basis: Any            # [3, 3]

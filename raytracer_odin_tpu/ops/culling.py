@@ -1,0 +1,137 @@
+"""Ray-bundle cluster culling (phase 1 of the TPU intersector).
+
+The hierarchy step of classic per-ray BVH traversal is recast as dense math
+over *coherent ray bundles*: rays are grouped into blocks of RB
+(pallas_intersect.RB) and each block's conservative interval bound —
+origin box + per-axis direction interval — is slab-tested against every
+triangle-cluster AABB. Interval arithmetic makes the test conservative:
+a cluster is never culled if any ray in the bundle's bounds could hit it
+(the bundle analogue of check_intersect_ray_aabb, raytracer.odin:119-133).
+
+Output: per-block cluster lists (ids + counts) consumed by the Pallas
+culled-intersect kernel via scalar prefetch. Everything here is dense
+[NB, C] elementwise work — no gathers, no divergence; NB*C is tiny.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytracer_odin_tpu.ops.pallas_intersect import BIG, LEAF, RB
+
+
+def cluster_aabbs(tri_lo: np.ndarray, tri_hi: np.ndarray) -> tuple:
+    """Host-side: AABBs of consecutive LEAF-sized triangle clusters (in
+    BVH/perm order, so clusters are spatially tight treelets).
+    Returns (lo [C, 3], hi [C, 3]) with padding clusters collapsed to an
+    unhittable box."""
+    t = tri_lo.shape[0]
+    c = max((t + LEAF - 1) // LEAF, 1)
+    lo = np.full((c * LEAF, 3), BIG, np.float32)
+    hi = np.full((c * LEAF, 3), -BIG, np.float32)
+    lo[:t] = tri_lo
+    hi[:t] = tri_hi
+    return (
+        lo.reshape(c, LEAF, 3).min(axis=1),
+        hi.reshape(c, LEAF, 3).max(axis=1),
+    )
+
+
+def block_bounds(o, d):
+    """Per-RB-block bounds. o, d: [Npad, 3] (Npad % RB == 0, tile-ordered).
+    Returns (o_lo, o_hi, d_lo, d_hi): [NB, 3] each."""
+    nb = o.shape[0] // RB
+    ob = o.reshape(nb, RB, 3)
+    db = d.reshape(nb, RB, 3)
+    return ob.min(1), ob.max(1), db.min(1), db.max(1)
+
+
+def cull_clusters(o_lo, o_hi, d_lo, d_hi, clo, chi):
+    """Conservative bundle-vs-AABB test. Returns hit mask [NB, C].
+
+    Per axis: the loosest entry over the (origin x direction) intervals and
+    the loosest exit; direction intervals straddling zero leave the axis
+    unconstrained. Hit iff max(entry) <= min(exit) and exit >= 0.
+    """
+    # [NB, 1, 3] vs [1, C, 3]
+    o_lo = o_lo[:, None]
+    o_hi = o_hi[:, None]
+    d_lo = d_lo[:, None]
+    d_hi = d_hi[:, None]
+    clo = clo[None]
+    chi = chi[None]
+
+    # <=/>=: direction intervals *touching* zero (axis-parallel rays) must
+    # also leave the axis unconstrained, else inf*0 NaNs could cull a
+    # hittable cluster.
+    straddle = (d_lo <= 0) & (d_hi >= 0)
+    # IEEE division handles zero endpoints (-> +/-inf); straddling intervals
+    # are overridden below anyway.
+    inv_a = 1.0 / d_lo
+    inv_b = 1.0 / d_hi
+    inv_lo = jnp.minimum(inv_a, inv_b)
+    inv_hi = jnp.maximum(inv_a, inv_b)
+
+    # slab offsets: s1 = clo - o in [clo - o_hi, clo - o_lo]
+    s1_lo = clo - o_hi
+    s1_hi = clo - o_lo
+    s2_lo = chi - o_hi
+    s2_hi = chi - o_lo
+
+    def imul(a_lo, a_hi, b_lo, b_hi):
+        p1 = a_lo * b_lo
+        p2 = a_lo * b_hi
+        p3 = a_hi * b_lo
+        p4 = a_hi * b_hi
+        return (
+            jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+            jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)),
+        )
+
+    t1_lo, t1_hi = imul(s1_lo, s1_hi, inv_lo, inv_hi)
+    t2_lo, t2_hi = imul(s2_lo, s2_hi, inv_lo, inv_hi)
+    entry_lo = jnp.minimum(t1_lo, t2_lo)
+    exit_hi = jnp.maximum(t1_hi, t2_hi)
+    entry_lo = jnp.where(straddle, -BIG, entry_lo)
+    exit_hi = jnp.where(straddle, BIG, exit_hi)
+
+    near = jnp.max(entry_lo, axis=-1)
+    far = jnp.min(exit_hi, axis=-1)
+    return (near <= far) & (far >= 0)
+
+
+def build_lists(hit_mask):
+    """[NB, C] bool -> (counts [NB] i32, lists [NB, C] i32): hit cluster ids
+    packed to the front of each row (stable order)."""
+    nb, c = hit_mask.shape
+    ids = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[None], (nb, c))
+    # stable sort: misses pushed to the end
+    order = jnp.argsort(jnp.where(hit_mask, ids, c + ids), axis=-1)
+    lists = jnp.take_along_axis(ids, order, axis=-1)
+    counts = jnp.sum(hit_mask, axis=-1).astype(jnp.int32)
+    return counts, lists
+
+
+def tile_order(h: int, w: int, th: int = 16, tw: int = 32):
+    """Static permutation info mapping [H, W] image order to coherent
+    (th x tw) tiles of RB pixels. Requires h % th == 0 and w % tw == 0;
+    callers fall back to row order otherwise."""
+    return h % th == 0 and w % tw == 0
+
+
+def to_tiles(x, h, w, th=16, tw=32):
+    """[..., H, W, k?] -> flat tile-major order (pure reshape/transpose)."""
+    lead = x.shape[:-3] if x.ndim > 3 else ()
+    k = x.shape[-1]
+    y = x.reshape(*lead, h // th, th, w // tw, tw, k)
+    y = jnp.swapaxes(y, -4, -3)  # [..., H/th, W/tw, th, tw, k]
+    return y.reshape(*lead, (h * w), k)
+
+
+def from_tiles(x, h, w, th=16, tw=32):
+    lead = x.shape[:-2] if x.ndim > 2 else ()
+    k = x.shape[-1] if x.ndim >= 2 else 1
+    y = x.reshape(*lead, h // th, w // tw, th, tw, k)
+    y = jnp.swapaxes(y, -4, -3)
+    return y.reshape(*lead, h, w, k)

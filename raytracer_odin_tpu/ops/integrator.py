@@ -1,0 +1,272 @@
+"""Wavefront path-tracing integrator.
+
+The reference's recursive `raytrace` (raytracer.odin:432-518) has tail shape
+
+    exitance = emission + (value / pdf) * raytrace(next_ray, depth - 1)
+
+so it maps exactly onto an iterative fixed-depth loop with a running
+throughput product and accumulated radiance — the classic wavefront form
+(ray-gen -> intersect -> shade -> scatter) driven by `lax.scan` with masked
+lanes. Per bounce, for every live lane:
+
+  1. nearest-hit cast (ops/traverse; RAY_EPS offset semantics included)
+  2. miss -> radiance += throughput * equirect env lookup, lane dies
+     (raytracer.odin:437-446)
+  3. hit  -> evaluate Point_Material (textures, optional normal mapping,
+     inside flip; raytracer.odin:448-488), radiance += throughput * emission
+  4. sample one direction from the cosine/light/VNDF mixture, compute the
+     combined pdf and BRDF value (shading.odin)
+  5. lane continues iff ||value||_1 / pdf > 1e-5 (raytracer.odin:495,
+     NaN compares false -> dead, same as the reference's comparison);
+     throughput *= value / pdf
+
+All lanes advance in lockstep; dead lanes are masked. Randomness is
+counter-based: every (sample key, bounce) pair yields an independent uniform
+block, so results are independent of batching/sharding.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_odin_tpu.ops import shading, texture, traverse
+from raytracer_odin_tpu.utils.math3d import dot, norm_l1, normalize
+
+
+class TraceOptions(NamedTuple):
+    depth: int = 8
+    intersector: str = "auto"
+    brute_chunk: int = 512
+    brute_max_tris: int = 512
+    light_chunk: int = 256
+    want_aux: bool = False
+
+
+# shade_row column layout (models/build.py): p u v ng | n1 n2 n3 | tex1..3 |
+# tan1..3 | color emission metallic roughness | tex ids (4) | pad
+SR_P = 0
+SR_U = 3
+SR_V = 6
+SR_NG = 9
+SR_N = 12
+SR_TEX = 21
+SR_TAN = 27
+SR_COLOR = 39
+SR_EMISSION = 42
+SR_METALLIC = 45
+SR_ROUGHNESS = 46
+SR_TEXIDS = 47
+
+
+def _point_material(scene, d, tri_idx, bu, bv):
+    """Evaluate the hit-point material (raytracer.odin:448-488).
+
+    All per-triangle data (attributes + inlined material) arrives in one
+    contiguous 64-float row-gather (scene.shade_row) — the dominant cost of
+    this stage on TPU is gathers, so it is exactly one per hit plus the
+    texture taps.
+
+    Returns dict with pos, normal (possibly normal-mapped, not yet
+    inside-flipped), ng, color, emission, metallic, roughness, inside.
+    """
+    ti = jnp.maximum(tri_idx, 0)
+    w0 = (1.0 - bu - bv)[..., None]
+    w1 = bu[..., None]
+    w2 = bv[..., None]
+
+    row = scene.shade_row[ti]  # [..., 64] single gather
+
+    tex = row[..., SR_TEX:SR_TEX + 6].reshape(ti.shape + (3, 2))
+    texcoords = tex[..., 0, :] * w0 + tex[..., 1, :] * w1 + tex[..., 2, :] * w2
+
+    pos = (
+        row[..., SR_P:SR_P + 3]
+        + row[..., SR_U:SR_U + 3] * w1
+        + row[..., SR_V:SR_V + 3] * w2
+    )
+
+    mtex = row[..., SR_TEXIDS:SR_TEXIDS + 4].astype(jnp.int32)
+
+    mr = texture.sample(scene, mtex[..., 2], texcoords)
+    col_tex = texture.sample(scene, mtex[..., 0], texcoords, srgb=True)
+    emi_tex = texture.sample(scene, mtex[..., 1], texcoords, srgb=True)
+
+    tri_n = row[..., SR_N:SR_N + 9].reshape(ti.shape + (3, 3))
+    n_interp = (
+        tri_n[..., 0, :] * w0 + tri_n[..., 1, :] * w1 + tri_n[..., 2, :] * w2
+    )
+    n_smooth = normalize(n_interp, eps=1e-20)
+
+    # Normal mapping branch (raytracer.odin:458-470): the interpolated
+    # tangent4 is normalized as a 4-vector (faithful to the reference,
+    # including the resulting non-orthonormal basis).
+    tri_tan = row[..., SR_TAN:SR_TAN + 12].reshape(ti.shape + (3, 4))
+    tan4 = (
+        tri_tan[..., 0, :] * w0 + tri_tan[..., 1, :] * w1 + tri_tan[..., 2, :] * w2
+    )
+    tan4 = tan4 / jnp.maximum(
+        jnp.sqrt(jnp.sum(tan4 * tan4, axis=-1, keepdims=True)), 1e-20
+    )
+    local_x = tan4[..., :3]
+    local_z = n_smooth
+    local_y = jnp.cross(local_z, local_x) * tan4[..., 3:4]
+    nrm_sample = texture.sample(
+        scene, mtex[..., 3], texcoords, default=(0.5, 1.0, 0.5, 0.0)
+    )[..., :3]
+    local_n = nrm_sample * 2.0 - 1.0
+    n_mapped = normalize(
+        local_x * local_n[..., 0:1]
+        + local_y * local_n[..., 1:2]
+        + local_z * local_n[..., 2:3],
+        eps=1e-20,
+    )
+    has_nmap = mtex[..., 3] >= 0
+    normal = jnp.where(has_nmap[..., None], n_mapped, n_smooth)
+
+    ng = row[..., SR_NG:SR_NG + 3]
+    inside = dot(ng, d) > 0
+
+    return {
+        "pos": pos,
+        "normal": normal,
+        "ng": ng,
+        "inside": inside,
+        "texcoords": texcoords,
+        "color": row[..., SR_COLOR:SR_COLOR + 3] * col_tex[..., :3],
+        "emission": row[..., SR_EMISSION:SR_EMISSION + 3] * emi_tex[..., :3],
+        "roughness": jnp.maximum(
+            row[..., SR_ROUGHNESS] * mr[..., 1], 0.03
+        ),
+        "metallic": row[..., SR_METALLIC] * mr[..., 2],
+    }
+
+
+def lane_uniforms(key, stream_ids, n: int):
+    """Counter-based per-lane uniforms: lane with stream id s draws
+    uniform(fold_in(key, s), (n,)). Invariant under any batching/sharding of
+    the lanes — the TPU analogue of the reference's per-task reseeding
+    (raytracer.odin:552), at per-pixel granularity."""
+    flat = stream_ids.reshape(-1)
+    keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(flat)
+    draws = jax.vmap(lambda k: jax.random.uniform(k, (n,), jnp.float32))(keys)
+    return draws.reshape(stream_ids.shape + (n,))
+
+
+def trace(scene, o, d, skey, opts: TraceOptions, stream_ids=None):
+    """Trace radiance for a batch of rays.
+
+    Args:
+      scene: DeviceScene.
+      o, d: [..., 3] ray origins/directions (d normalized).
+      skey: PRNG key for this sample batch.
+      opts: static trace options.
+      stream_ids: [...] int32 unique per-lane stream ids (e.g. the global
+        pixel index). Defaults to the flattened lane position.
+
+    Returns (radiance [..., 3], aux dict or {}).
+    """
+    batch_shape = o.shape[:-1]
+    if stream_ids is None:
+        n_lanes = 1
+        for s in batch_shape:
+            n_lanes *= s
+        stream_ids = jnp.arange(n_lanes, dtype=jnp.int32).reshape(batch_shape)
+    has_lights = scene.light_p.shape[0] > 0
+    env_tex = scene.env_tex
+
+    def bounce(state, b):
+        o, d, throughput, radiance, alive, aux = state
+
+        t, tri_idx, bu, bv = traverse.cast_rays(
+            scene, o, d,
+            intersector=opts.intersector,
+            brute_chunk=opts.brute_chunk,
+            brute_max_tris=opts.brute_max_tris,
+        )
+        hit = (tri_idx >= 0) & alive
+        missed = (~(tri_idx >= 0)) & alive
+
+        env = texture.sample_env(scene, d, env_tex)
+        radiance = radiance + jnp.where(missed[..., None], throughput * env, 0.0)
+
+        m = _point_material(scene, d, tri_idx, bu, bv)
+        flip = m["inside"][..., None]
+        normal = jnp.where(flip, -m["normal"], m["normal"])
+
+        radiance = radiance + jnp.where(
+            hit[..., None], throughput * m["emission"], 0.0
+        )
+
+        key = jax.random.fold_in(skey, b)
+        uniforms = lane_uniforms(key, stream_ids, 6)
+
+        new_d = shading.sample_direction(
+            scene, m["pos"], normal, m["roughness"], d, uniforms, has_lights
+        )
+        pdf = shading.mixture_pdf(
+            scene, m["pos"], normal, m["roughness"], d, new_d, has_lights,
+            light_chunk=opts.light_chunk,
+        )
+        value = shading.shade(
+            m["color"], normal, m["metallic"], m["roughness"], d, new_d
+        )
+
+        # Continuation rule (raytracer.odin:495): NaN compares false.
+        cont = (norm_l1(value) / pdf > 1e-5) & hit
+        ratio = value / pdf[..., None]
+        throughput = jnp.where(
+            cont[..., None], throughput * ratio, throughput
+        )
+
+        if opts.want_aux:
+            first = aux["bounces"] == 0
+            upd = first & alive
+            aux = dict(aux)
+            aux["first_t"] = jnp.where(upd & hit, t, aux["first_t"])
+            aux["first_normal"] = jnp.where(
+                (upd & hit)[..., None], normal, aux["first_normal"]
+            )
+            aux["albedo"] = jnp.where((upd & hit)[..., None], m["color"], aux["albedo"])
+            aux["first_emission"] = jnp.where(
+                (upd & hit)[..., None], m["emission"], aux["first_emission"]
+            )
+            aux["first_uv"] = jnp.where(
+                (upd & hit)[..., None], m["texcoords"], aux["first_uv"]
+            )
+            aux["first_pdf"] = jnp.where(upd & hit, pdf, aux["first_pdf"])
+            aux["prim_miss"] = jnp.where(upd, missed, aux["prim_miss"])
+            aux["bounces"] = aux["bounces"] + alive.astype(jnp.int32)
+
+        alive = cont
+        o = m["pos"]
+        d = new_d
+        return (o, d, throughput, radiance, alive, aux), None
+
+    aux0 = {}
+    if opts.want_aux:
+        aux0 = {
+            "first_t": jnp.zeros(batch_shape, jnp.float32),
+            "first_normal": jnp.zeros(batch_shape + (3,), jnp.float32),
+            "albedo": jnp.zeros(batch_shape + (3,), jnp.float32),
+            "first_emission": jnp.zeros(batch_shape + (3,), jnp.float32),
+            "first_uv": jnp.zeros(batch_shape + (2,), jnp.float32),
+            "first_pdf": jnp.zeros(batch_shape, jnp.float32),
+            "prim_miss": jnp.zeros(batch_shape, bool),
+            "bounces": jnp.zeros(batch_shape, jnp.int32),
+        }
+
+    init = (
+        o,
+        d,
+        jnp.ones(batch_shape + (3,), jnp.float32),
+        jnp.zeros(batch_shape + (3,), jnp.float32),
+        jnp.ones(batch_shape, bool),
+        aux0,
+    )
+    (o, d, throughput, radiance, alive, aux), _ = jax.lax.scan(
+        bounce, init, jnp.arange(opts.depth)
+    )
+    return radiance, aux

@@ -1,0 +1,291 @@
+"""Pallas TPU intersection kernels.
+
+Measured reality on TPU v5e: XLA lowers per-lane gather loops (the classic
+GPU-style BVH walk) onto the scalar core — ~0.1 Mrays/s and minutes of
+compile time. The TPU-native shape of the problem is *dense sweeps in VMEM*:
+
+  * rays live in lanes: a block of RB rays is a (1, RB) vector per component;
+  * triangles live in sublanes: a cluster of 64 consecutive (BVH-ordered)
+    triangles is a (64, 1) column per component;
+  * one cluster x ray-block intersection test is ~70 elementwise ops on
+    (64, RB) tiles — pure VPU, no gathers, no divergence.
+
+Kernels:
+  * `intersect_brute` — every ray block against every cluster. Replaces
+    cast_ray_through_trigs (raytracer.odin:351-369) wholesale.
+  * `intersect_culled` — every ray block against only the clusters whose
+    AABB its ray-bundle frustum can hit, via a per-block cluster list
+    computed in XLA (ops/culling.py) and delivered through scalar prefetch;
+    the in-kernel loop has a data-dependent trip count. This is the
+    TPU-native replacement for per-ray BVH traversal
+    (raytracer.odin:371-414): the hierarchy cull happens per coherent ray
+    bundle on dense math, not per ray on a stack.
+
+Triangle layout: [Tpad, 12] f32, BVH/perm order padded to a multiple of
+LEAF=64 with degenerate rows; columns = px py pz ux uy uz vx vy vz (3 pad).
+Ray layout: [8, Npad] f32 rows = ox oy oz dx dy dz (2 pad).
+Output: [8, Npad] f32 rows = t bu bv tri_index (as f32; exact below 2^24).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LEAF = 64          # triangles per cluster
+RB = 512           # rays per block
+BIG = 3.0e38
+
+
+def _cluster_test(tris_ref, base, ox, oy, oz, dx, dy, dz,
+                  best_t, best_u, best_v, best_i):
+    """Test LEAF consecutive triangles (starting at row `base`) against the
+    ray block. All inputs (1, RB); returns updated bests."""
+
+    def col(j):
+        return tris_ref[pl.ds(base, LEAF), j:j + 1]  # (LEAF, 1)
+
+    px, py, pz = col(0), col(1), col(2)
+    ux, uy, uz = col(3), col(4), col(5)
+    vx, vy, vz = col(6), col(7), col(8)
+
+    # pvec = d x v  -> (LEAF, RB)
+    pvx = dy * vz - dz * vy
+    pvy = dz * vx - dx * vz
+    pvz = dx * vy - dy * vx
+    det = ux * pvx + uy * pvy + uz * pvz
+    inv = 1.0 / det
+    tx = ox - px
+    ty = oy - py
+    tz = oz - pz
+    bu = (tx * pvx + ty * pvy + tz * pvz) * inv
+    # qvec = tvec x u
+    qx = ty * uz - tz * uy
+    qy = tz * ux - tx * uz
+    qz = tx * uy - ty * ux
+    bv = (dx * qx + dy * qy + dz * qz) * inv
+    t = (vx * qx + vy * qy + vz * qz) * inv
+
+    ok = (bu >= 0) & (bv >= 0) & (bu + bv <= 1) & (t > 0) & (t < best_t)
+    t_ok = jnp.where(ok, t, BIG)
+    tmin = jnp.min(t_ok, axis=0, keepdims=True)          # (1, RB)
+    better = tmin < best_t
+
+    # smallest triangle row achieving tmin (exact winner selection)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (LEAF, 1), 0).astype(jnp.float32)
+    row_sel = jnp.where(t_ok <= tmin, rows, jnp.float32(LEAF))
+    win_row = jnp.min(row_sel, axis=0, keepdims=True)     # (1, RB)
+    onehot = rows == win_row
+    u_sel = jnp.sum(jnp.where(onehot, bu, 0.0), axis=0, keepdims=True)
+    v_sel = jnp.sum(jnp.where(onehot, bv, 0.0), axis=0, keepdims=True)
+
+    idx = base.astype(jnp.float32) + win_row
+    best_u = jnp.where(better, u_sel, best_u)
+    best_v = jnp.where(better, v_sel, best_v)
+    best_i = jnp.where(better, idx, best_i)
+    best_t = jnp.where(better, tmin, best_t)
+    return best_t, best_u, best_v, best_i
+
+
+def _finish(out_ref, best_t, best_u, best_v, best_i):
+    pad = jnp.zeros_like(best_t)
+    out_ref[:] = jnp.concatenate(
+        [best_t, best_u, best_v, best_i, pad, pad, pad, pad], axis=0
+    )
+
+
+def _brute_kernel(rays_ref, tris_ref, out_ref, *, n_clusters: int):
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+
+    init = (
+        jnp.full((1, RB), BIG, jnp.float32),
+        jnp.zeros((1, RB), jnp.float32),
+        jnp.zeros((1, RB), jnp.float32),
+        jnp.full((1, RB), -1.0, jnp.float32),
+    )
+
+    def body(c, carry):
+        return _cluster_test(
+            tris_ref, c * LEAF, ox, oy, oz, dx, dy, dz, *carry
+        )
+
+    best_t, best_u, best_v, best_i = jax.lax.fori_loop(
+        0, n_clusters, body, init
+    )
+    _finish(out_ref, best_t, best_u, best_v, best_i)
+
+
+def _culled_kernel(counts_ref, lists_ref, rays_ref, tris_ref, out_ref):
+    """counts/lists arrive via scalar prefetch (SMEM): lists_ref[b, k] is the
+    k-th cluster id for ray block b, k < counts_ref[b]."""
+    b = pl.program_id(0)
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+
+    init = (
+        jnp.full((1, RB), BIG, jnp.float32),
+        jnp.zeros((1, RB), jnp.float32),
+        jnp.zeros((1, RB), jnp.float32),
+        jnp.full((1, RB), -1.0, jnp.float32),
+    )
+
+    def body(k, carry):
+        cid = lists_ref[b, k]
+        return _cluster_test(
+            tris_ref, cid * LEAF, ox, oy, oz, dx, dy, dz, *carry
+        )
+
+    best_t, best_u, best_v, best_i = jax.lax.fori_loop(
+        0, counts_ref[b], body, init
+    )
+    _finish(out_ref, best_t, best_u, best_v, best_i)
+
+
+# ---------------------------------------------------------------------------
+# Host-callable wrappers.
+# ---------------------------------------------------------------------------
+
+def pack_rays(o, d):
+    """[..., 3] x2 -> ([8, Npad], batch_shape, n). Npad multiple of RB."""
+    batch_shape = o.shape[:-1]
+    o2 = o.reshape(-1, 3)
+    d2 = d.reshape(-1, 3)
+    n = o2.shape[0]
+    npad = ((n + RB - 1) // RB) * RB
+    rays = jnp.zeros((8, npad), jnp.float32)
+    rays = rays.at[0:3, :n].set(o2.T)
+    rays = rays.at[3:6, :n].set(d2.T)
+    # dead padding lanes: unit +x direction far away, hits nothing
+    if npad != n:
+        rays = rays.at[0, n:].set(BIG)
+        rays = rays.at[3, n:].set(1.0)
+    return rays, batch_shape, n
+
+
+def unpack_hits(out, batch_shape, n):
+    t = out[0, :n].reshape(batch_shape)
+    bu = out[1, :n].reshape(batch_shape)
+    bv = out[2, :n].reshape(batch_shape)
+    idx = out[3, :n].reshape(batch_shape).astype(jnp.int32)
+    return t, idx, bu, bv
+
+
+def pad_triangles(tri_p, tri_u, tri_v) -> np.ndarray:
+    """Host-side: build the [Tpad, 12] kernel triangle array (numpy)."""
+    t = np.asarray(tri_p).shape[0]
+    tpad = max(((t + LEAF - 1) // LEAF) * LEAF, LEAF)
+    arr = np.zeros((tpad, 12), np.float32)
+    arr[:t, 0:3] = np.asarray(tri_p)
+    arr[:t, 3:6] = np.asarray(tri_u)
+    arr[:t, 6:9] = np.asarray(tri_v)
+    arr[t:, 0:3] = BIG  # degenerate far-away padding rows
+    return arr
+
+
+def _interpret() -> bool:
+    # CPU backend: run the kernels through the Pallas interpreter (tests).
+    return jax.default_backend() == "cpu"
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters",))
+def _brute_call(rays, tris, n_clusters: int):
+    npad = rays.shape[1]
+    grid = (npad // RB,)
+    return pl.pallas_call(
+        functools.partial(_brute_kernel, n_clusters=n_clusters),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tris.shape[0], 12), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((8, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, npad), jnp.float32),
+        interpret=_interpret(),
+    )(rays, tris)
+
+
+def intersect_brute(scene_tris, o, d):
+    """Nearest hit of rays against the packed triangle array.
+
+    scene_tris: [Tpad, 12] (device array). Returns (t, idx, bu, bv) with
+    idx into the packed (BVH-permuted) order, -1 for miss; t WITHOUT the
+    RAY_EPS handling (callers of cast_rays semantics add it).
+    """
+    rays, batch_shape, n = pack_rays(o, d)
+    out = _brute_call(rays, scene_tris, scene_tris.shape[0] // LEAF)
+    return unpack_hits(out, batch_shape, n)
+
+
+def _culled_call(counts, lists, rays, tris):
+    npad = rays.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(npad // RB,),
+        in_specs=[
+            # index maps receive (grid idx, *scalar_prefetch_refs)
+            pl.BlockSpec((8, RB), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tris.shape[0], 12), lambda i, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, RB), lambda i, *_: (0, i), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _culled_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, npad), jnp.float32),
+        interpret=_interpret(),
+    )(counts, lists, rays, tris)
+
+
+# Scalar-prefetch arrays live in SMEM (~1 MB); bound the per-call block
+# count so counts+lists fit, and loop over super-chunks of rays.
+SMEM_BUDGET_BYTES = 700_000
+
+
+def intersect_culled(scene_tris, counts, lists, o, d):
+    """Nearest hit testing only the per-block cluster lists (ops/culling.py).
+
+    counts: [NB] i32; lists: [NB, C] i32 (entries beyond counts ignored).
+    """
+    rays, batch_shape, n = pack_rays(o, d)
+    npad = rays.shape[1]
+    nb = npad // RB
+    c = lists.shape[1]
+    max_blocks = max(64, SMEM_BUDGET_BYTES // (4 * (c + 1)))
+    if nb <= max_blocks:
+        out = _culled_call(counts, lists, rays, scene_tris)
+    else:
+        n_chunks = -(-nb // max_blocks)
+        per = -(-nb // n_chunks)  # balanced chunk size
+        pieces = []
+        for s in range(0, nb, per):
+            e = min(nb, s + per)
+            pieces.append(
+                _culled_call(
+                    counts[s:e], lists[s:e],
+                    jax.lax.slice_in_dim(rays, s * RB, e * RB, axis=1),
+                    scene_tris,
+                )
+            )
+        out = jnp.concatenate(pieces, axis=1)
+    return unpack_hits(out, batch_shape, n)

@@ -1,0 +1,234 @@
+"""Device-side nearest-hit ray casting.
+
+Two interchangeable intersectors (selected in config; "auto" by scene size):
+
+  * `cast_rays_bvh` — stackless masked traversal of the flattened BVH
+    (ops/bvh.py). All rays advance in lockstep through their own node
+    chains via per-octant hit/miss links; each step gathers one node AABB
+    per ray and (for leaf steps) up to LEAF_SIZE triangle records. This is
+    the TPU-native replacement of the reference's 64-deep explicit stack
+    walk (cast_ray_through_bvh, raytracer.odin:371-414).
+
+  * `cast_rays_brute` — chunked all-rays x all-triangles sweep
+    (cast_ray_through_trigs, raytracer.odin:351-369, vectorized): fully
+    regular VPU work with no gathers; the fastest choice for small scenes.
+
+Both reproduce `cast_ray` semantics (raytracer.odin:416-430): origin pushed
+forward by RAY_EPS along the direction, nearest hit with `t > 0`, and the
+returned t incremented by RAY_EPS.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from raytracer_odin_tpu.ops.bvh import LEAF_SIZE
+from raytracer_odin_tpu.ops.geometry import BIG, RAY_EPS, intersect_aabb, intersect_triangle
+
+
+def _ray_octant(d):
+    """Octant index from direction signs: bit k set iff d[k] < 0."""
+    return (
+        (d[..., 0] < 0).astype(jnp.int32)
+        + 2 * (d[..., 1] < 0).astype(jnp.int32)
+        + 4 * (d[..., 2] < 0).astype(jnp.int32)
+    )
+
+
+def cast_rays_brute(scene, o, d, max_t=None, chunk: int = 512):
+    """Nearest hit over all triangles, processed in static chunks via
+    lax.scan. Returns (t, tri_idx, bu, bv) with tri_idx = -1 on miss and
+    t = +BIG on miss (t already includes the RAY_EPS re-add)."""
+    n_tri = scene.tri_p.shape[0]
+    o = o + d * RAY_EPS
+    batch_shape = o.shape[:-1]
+
+    chunk = min(chunk, max(n_tri, 1))
+    n_chunks = (n_tri + chunk - 1) // chunk
+    pad = n_chunks * chunk - n_tri
+
+    tri_p = jnp.pad(scene.tri_p, ((0, pad), (0, 0)))
+    tri_u = jnp.pad(scene.tri_u, ((0, pad), (0, 0)))
+    tri_v = jnp.pad(scene.tri_v, ((0, pad), (0, 0)))
+    valid_tri = jnp.pad(jnp.ones(n_tri, bool), (0, pad))
+
+    init = (
+        jnp.full(batch_shape, BIG if max_t is None else max_t, jnp.float32),
+        jnp.full(batch_shape, -1, jnp.int32),
+        jnp.zeros(batch_shape, jnp.float32),
+        jnp.zeros(batch_shape, jnp.float32),
+    )
+
+    def body(carry, ck):
+        best_t, best_i, best_u, best_v = carry
+        p, u, v, vmask, base = ck
+        # [..., C] tests: broadcast rays against the triangle chunk.
+        t, bu, bv, ok = intersect_triangle(
+            o[..., None, :], d[..., None, :], p, u, v
+        )
+        ok = ok & vmask & (t > 0) & (t < best_t[..., None])
+        t = jnp.where(ok, t, BIG)
+        k = jnp.argmin(t, axis=-1)
+        tk = jnp.take_along_axis(t, k[..., None], axis=-1)[..., 0]
+        better = tk < best_t
+        kexp = k[..., None]
+        best_u = jnp.where(
+            better, jnp.take_along_axis(bu, kexp, axis=-1)[..., 0], best_u
+        )
+        best_v = jnp.where(
+            better, jnp.take_along_axis(bv, kexp, axis=-1)[..., 0], best_v
+        )
+        best_i = jnp.where(better, base + k.astype(jnp.int32), best_i)
+        best_t = jnp.where(better, tk, best_t)
+        return (best_t, best_i, best_u, best_v), None
+
+    chunks = (
+        tri_p.reshape(n_chunks, chunk, 3),
+        tri_u.reshape(n_chunks, chunk, 3),
+        tri_v.reshape(n_chunks, chunk, 3),
+        valid_tri.reshape(n_chunks, chunk),
+        jnp.arange(n_chunks, dtype=jnp.int32) * chunk,
+    )
+    (best_t, best_i, best_u, best_v), _ = jax.lax.scan(body, init, chunks)
+    best_t = jnp.where(best_i >= 0, best_t + RAY_EPS, BIG)
+    return best_t, best_i, best_u, best_v
+
+
+def cast_rays_bvh(scene, o, d, max_t=None):
+    """Stackless masked BVH traversal; same returns as cast_rays_brute."""
+    bvh = scene.bvh
+    n_nodes = bvh.lo.shape[0]
+    o = o + d * RAY_EPS
+    batch_shape = o.shape[:-1]
+    inv_d = 1.0 / d
+    octant = _ray_octant(d)
+    # Flatten per-octant links for a single gather with combined index.
+    hit_link = bvh.hit_link.reshape(-1)    # [8*B]
+    miss_link = bvh.miss_link.reshape(-1)  # [8*B]
+    oct_base = octant * n_nodes
+
+    init = (
+        jnp.zeros(batch_shape, jnp.int32),  # current node
+        jnp.full(batch_shape, BIG if max_t is None else max_t, jnp.float32),
+        jnp.full(batch_shape, -1, jnp.int32),
+        jnp.zeros(batch_shape, jnp.float32),
+        jnp.zeros(batch_shape, jnp.float32),
+    )
+
+    def cond(state):
+        node = state[0]
+        return jnp.any(node < n_nodes)
+
+    def body(state):
+        node, best_t, best_i, best_u, best_v = state
+        nidx = jnp.minimum(node, n_nodes - 1)  # clamp finished lanes
+        active = node < n_nodes
+        lo = bvh.lo[nidx]
+        hi = bvh.hi[nidx]
+        _, box_hit = intersect_aabb(o, inv_d, lo, hi, best_t)
+        box_hit = box_hit & active
+
+        first = bvh.first[nidx]
+        count = bvh.count[nidx]
+        is_leaf = count > 0
+        do_tris = box_hit & is_leaf
+
+        # Test the (<= LEAF_SIZE) triangles of leaf nodes; static unroll.
+        for k in range(LEAF_SIZE):
+            ti = jnp.minimum(first + k, scene.tri_p.shape[0] - 1)
+            t, bu, bv, ok = intersect_triangle(
+                o, d, scene.tri_p[ti], scene.tri_u[ti], scene.tri_v[ti]
+            )
+            ok = ok & do_tris & (k < count) & (t > 0) & (t < best_t)
+            best_t = jnp.where(ok, t, best_t)
+            best_i = jnp.where(ok, ti, best_i)
+            best_u = jnp.where(ok, bu, best_u)
+            best_v = jnp.where(ok, bv, best_v)
+
+        links_idx = oct_base + nidx
+        nxt = jnp.where(box_hit, hit_link[links_idx], miss_link[links_idx])
+        node = jnp.where(active, nxt, node)
+        return node, best_t, best_i, best_u, best_v
+
+    _, best_t, best_i, best_u, best_v = jax.lax.while_loop(cond, body, init)
+    best_t = jnp.where(best_i >= 0, best_t + RAY_EPS, BIG)
+    return best_t, best_i, best_u, best_v
+
+
+def cast_rays_pallas(scene, o, d, culled: bool = True):
+    """Pallas bundle-culled intersect (ops/pallas_intersect + ops/culling):
+    rays grouped into RB-sized bundles; each bundle's conservative interval
+    bound culls triangle clusters in dense XLA math, then the Pallas kernel
+    sweeps the surviving clusters on the VPU. Same cast_ray semantics as the
+    other intersectors (RAY_EPS offset + re-add, raytracer.odin:416-430)."""
+    from raytracer_odin_tpu.ops import culling
+    from raytracer_odin_tpu.ops import pallas_intersect as pi
+
+    o = o + d * RAY_EPS
+    batch_shape = o.shape[:-1]
+
+    tiled = (
+        len(batch_shape) == 2
+        and culling.tile_order(batch_shape[0], batch_shape[1])
+    )
+    if tiled:
+        h, w = batch_shape
+        o2 = culling.to_tiles(o, h, w)
+        d2 = culling.to_tiles(d, h, w)
+    else:
+        o2 = o.reshape(-1, 3)
+        d2 = d.reshape(-1, 3)
+
+    if culled:
+        n = o2.shape[0]
+        npad = ((n + pi.RB - 1) // pi.RB) * pi.RB
+        o_p = jnp.pad(o2, ((0, npad - n), (0, 0)), constant_values=BIG)
+        d_p = jnp.pad(d2, ((0, npad - n), (0, 0)))
+        o_lo, o_hi, d_lo, d_hi = culling.block_bounds(o_p, d_p)
+        mask = culling.cull_clusters(
+            o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
+        )
+        counts, lists = culling.build_lists(mask)
+        t, idx, bu, bv = pi.intersect_culled(scene.ptri, counts, lists, o2, d2)
+    else:
+        t, idx, bu, bv = pi.intersect_brute(scene.ptri, o2, d2)
+
+    if tiled:
+        h, w = batch_shape
+        t = culling.from_tiles(t[:, None], h, w)[..., 0]
+        idx = culling.from_tiles(idx[:, None], h, w)[..., 0]
+        bu = culling.from_tiles(bu[:, None], h, w)[..., 0]
+        bv = culling.from_tiles(bv[:, None], h, w)[..., 0]
+    else:
+        t = t.reshape(batch_shape)
+        idx = idx.reshape(batch_shape)
+        bu = bu.reshape(batch_shape)
+        bv = bv.reshape(batch_shape)
+
+    t = jnp.where(idx >= 0, t + RAY_EPS, BIG)
+    return t, idx, bu, bv
+
+
+def cast_rays(scene, o, d, *, intersector: str = "auto", brute_chunk: int = 512,
+              brute_max_tris: int = 512):
+    """Dispatch between intersectors (static decision at trace time).
+
+    "auto" is backend-aware: on TPU the per-lane-gather BVH walk gets
+    scalarized by XLA (measured ~0.1 Mrays/s and minutes of compile), so TPU
+    uses the Pallas bundle-culled kernel; CPU uses the BVH walk for big
+    scenes (where it vectorizes fine) and the dense sweep for tiny ones.
+    """
+    n_tri = scene.tri_p.shape[0]
+    if intersector == "auto":
+        if jax.default_backend() == "cpu":
+            intersector = "brute" if n_tri <= brute_max_tris else "bvh"
+        else:
+            intersector = "pallas"
+    if intersector == "pallas":
+        return cast_rays_pallas(scene, o, d, culled=True)
+    if intersector == "pallas_brute":
+        return cast_rays_pallas(scene, o, d, culled=False)
+    if intersector == "brute":
+        return cast_rays_brute(scene, o, d, chunk=brute_chunk)
+    return cast_rays_bvh(scene, o, d)

@@ -1,0 +1,74 @@
+"""Per-pixel sample statistics.
+
+The reference accumulates, per pixel and per layer: first sample, sample
+count, last sample, running total and total of squares (Sample_Stats,
+main.odin:34-40, updated in rc_set_pixel main.odin:89-102). Here the whole
+statistics block is a pytree of [L, H, W, ...] arrays living in device HBM
+across the entire render — the TPU equivalent of the shared-memory
+accumulator, with the benign data race replaced by functional updates.
+
+Layer 0 is the beauty render; layers 1..9 are AOVs (config.py LAYER_*),
+populated when debug_features is on, mirroring the reference's 10 debug
+layers (NUM_LAYERS, main.odin:48).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class Stats:
+    first: Any          # [L, H, W, 3]
+    last: Any           # [L, H, W, 3]
+    total: Any          # [L, H, W, 3]
+    total_sq: Any       # [L, H, W, 3]
+    count: Any          # [L, H, W]
+
+
+def _register(cls):
+    names = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_pytree_node(
+        cls,
+        lambda s: ([getattr(s, n) for n in names], None),
+        lambda _, c: cls(**dict(zip(names, c))),
+    )
+    return cls
+
+
+_register(Stats)
+
+
+def init_stats(num_layers: int, height: int, width: int) -> Stats:
+    def z3():
+        # Distinct buffers: aliased fields would break jit donation.
+        return jnp.zeros((num_layers, height, width, 3), jnp.float32)
+
+    return Stats(
+        first=z3(),
+        last=z3(),
+        total=z3(),
+        total_sq=z3(),
+        count=jnp.zeros((num_layers, height, width), jnp.float32),
+    )
+
+
+def update_layer(stats: Stats, layer: int, color) -> Stats:
+    """Record one sample per pixel on `layer` (rc_set_pixel semantics,
+    main.odin:89-102). color: [H, W, 3]."""
+    count = stats.count[layer]
+    is_first = (count == 0)[..., None]
+    return Stats(
+        first=stats.first.at[layer].set(
+            jnp.where(is_first, color, stats.first[layer])
+        ),
+        last=stats.last.at[layer].set(color),
+        total=stats.total.at[layer].add(color),
+        total_sq=stats.total_sq.at[layer].add(color * color),
+        count=stats.count.at[layer].add(1.0),
+    )

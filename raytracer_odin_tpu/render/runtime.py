@@ -1,0 +1,269 @@
+"""Render runtime: camera ray generation, the jitted per-step sample loop,
+and the host driver (trials / continuous mode / interrupts).
+
+Replaces the reference's thread pool + atomic tile counter
+(render_scene/render_task, raytracer.odin:525-665). The TPU work
+decomposition is: one jitted device step computes `samples_per_step` full-
+image samples and folds them into the HBM-resident Stats accumulator; the
+host loop repeats steps until the target spp (or an interrupt in continuous
+mode), checking the interrupt flag only between device steps — the
+cooperative-interruption analogue of raytracer.odin:554.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import signal
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracer_odin_tpu import config as config_mod
+from raytracer_odin_tpu.config import RenderConfig
+from raytracer_odin_tpu.ops.integrator import TraceOptions, trace
+from raytracer_odin_tpu.render import accum
+from raytracer_odin_tpu.utils.math3d import norm_l1, normalize
+
+
+# ---------------------------------------------------------------------------
+# Interrupt flag (async_interrupt / is_interrupted, main.odin:20-25).
+# ---------------------------------------------------------------------------
+
+class InterruptFlag:
+    def __init__(self):
+        self._flag = False
+        self._prev = None
+
+    def install(self):
+        def handler(signum, frame):
+            self._flag = True
+        self._prev = signal.signal(signal.SIGINT, handler)
+        return self
+
+    def uninstall(self):
+        if self._prev is not None:
+            signal.signal(signal.SIGINT, self._prev)
+
+    def set(self):
+        self._flag = True
+
+    def __bool__(self):
+        return self._flag
+
+
+# ---------------------------------------------------------------------------
+# Camera ray generation (raytracer.odin:528-538, 577-586).
+# ---------------------------------------------------------------------------
+
+def generate_rays(cam_pos, cam_basis, fov_x: float, width: int, height: int,
+                  jitter, row_offset=0, n_rows: int | None = None):
+    """Camera rays with per-pixel jitter for rows [row_offset,
+    row_offset + n_rows) of a height-`height` image.
+
+    jitter: [n_rows, W, 2] uniforms in [0, 1). Image row r corresponds to
+    reference pixel py = height - 1 - r (the reference renders with y up and
+    flips on store, main.odin:95; we bake the flip into ray-gen so
+    accumulators are already in image order). `row_offset` may be a traced
+    value (sharded rendering passes the shard's first row).
+
+    Returns (o [n_rows, W, 3], d [n_rows, W, 3]).
+    """
+    if n_rows is None:
+        n_rows = height
+    aspect = width / height
+    tan_fx = jnp.tan(fov_x / 2.0)
+    tan_fy = tan_fx / aspect
+
+    r = row_offset + jnp.arange(n_rows, dtype=jnp.float32)[:, None]
+    px = jnp.arange(width, dtype=jnp.float32)[None, :]
+    py = (height - 1.0) - r  # image row -> reference pixel y
+
+    x = px + jitter[..., 0]
+    y = py + jitter[..., 1]
+    ndc_x = x / (width / 2.0) - 1.0
+    ndc_y = y / (height / 2.0) - 1.0
+    v = jnp.stack(
+        [ndc_x * tan_fx, ndc_y * jnp.broadcast_to(tan_fy, ndc_x.shape), jnp.ones_like(ndc_x)],
+        axis=-1,
+    )
+    d = normalize(v @ cam_basis.T, eps=1e-20)
+    o = jnp.broadcast_to(cam_pos, d.shape)
+    return o, d
+
+
+def sample_pass(scene, skey, fov_x: float, width: int, height: int,
+                opts: TraceOptions, row_offset=0, n_rows: int | None = None):
+    """One full sample for rows [row_offset, row_offset + n_rows): jittered
+    ray-gen + wavefront trace. Per-pixel counter-based streams make the
+    result independent of how rows are sharded across chips."""
+    from raytracer_odin_tpu.ops.integrator import lane_uniforms
+
+    if n_rows is None:
+        n_rows = height
+    rows = row_offset + jnp.arange(n_rows, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(width, dtype=jnp.int32)[None, :]
+    stream_ids = rows * width + cols
+
+    jitter = lane_uniforms(jax.random.fold_in(skey, 0x7E11), stream_ids, 2)
+    o, d = generate_rays(
+        scene.cam_pos, scene.cam_basis, fov_x, width, height, jitter,
+        row_offset=row_offset, n_rows=n_rows,
+    )
+    return trace(scene, o, d, skey, opts, stream_ids=stream_ids)
+
+
+# ---------------------------------------------------------------------------
+# Jitted render step.
+# ---------------------------------------------------------------------------
+
+def make_render_step(cfg: RenderConfig, fov_x: float) -> Callable:
+    """Build the jitted step: (scene, stats, base_key, sample_start) ->
+    stats. Computes cfg.samples_per_step full-image samples sequentially
+    (preserving first/last ordering) and folds them into stats."""
+    opts = TraceOptions(
+        depth=cfg.ray_depth,
+        intersector=cfg.intersector,
+        brute_chunk=cfg.brute_chunk,
+        brute_max_tris=cfg.brute_max_tris,
+        light_chunk=cfg.light_chunk,
+        want_aux=cfg.debug_features,
+    )
+    H, W = cfg.height, cfg.width
+
+    def one_sample(carry, sample_idx):
+        scene, stats, base_key = carry
+        skey = jax.random.fold_in(base_key, sample_idx)
+        radiance, aux = sample_pass(scene, skey, fov_x, W, H, opts)
+
+        stats = accum.update_layer(stats, config_mod.LAYER_BEAUTY, radiance)
+        if cfg.debug_features:
+            c = config_mod
+            stats = accum.update_layer(
+                stats, c.LAYER_NORMAL, aux["first_normal"] * 0.5 + 0.5
+            )
+            t3 = jnp.repeat(aux["first_t"][..., None], 3, axis=-1)
+            stats = accum.update_layer(stats, c.LAYER_DEPTH, t3)
+            stats = accum.update_layer(stats, c.LAYER_ALBEDO, aux["albedo"])
+            stats = accum.update_layer(stats, c.LAYER_EMISSION, aux["first_emission"])
+            uv3 = jnp.concatenate(
+                [aux["first_uv"], jnp.zeros_like(aux["first_uv"][..., :1])], axis=-1
+            )
+            stats = accum.update_layer(stats, c.LAYER_UV, uv3)
+            b3 = jnp.repeat(aux["bounces"][..., None].astype(jnp.float32), 3, axis=-1)
+            stats = accum.update_layer(stats, c.LAYER_BOUNCES, b3)
+            anomaly = (norm_l1(radiance) > 1e3).astype(jnp.float32)
+            stats = accum.update_layer(
+                stats, c.LAYER_ANOMALY, jnp.repeat(anomaly[..., None], 3, axis=-1)
+            )
+            p3 = jnp.repeat(aux["first_pdf"][..., None], 3, axis=-1)
+            stats = accum.update_layer(stats, c.LAYER_PDF, p3)
+            m3 = jnp.repeat(
+                aux["prim_miss"][..., None].astype(jnp.float32), 3, axis=-1
+            )
+            stats = accum.update_layer(stats, c.LAYER_MISS, m3)
+        return (scene, stats, base_key), None
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def step(scene, stats, base_key, sample_start):
+        (_, stats, _), _ = jax.lax.scan(
+            one_sample,
+            (scene, stats, base_key),
+            sample_start + jnp.arange(cfg.samples_per_step),
+        )
+        return stats
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Host driver.
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class RenderResult:
+    stats: accum.Stats
+    samples_done: int
+    trial_seconds: list
+    rays_cast: int = 0
+
+
+def render_scene(
+    scene,
+    cfg: RenderConfig,
+    fov_x: float,
+    trials: int = 1,
+    interrupt: Optional[InterruptFlag] = None,
+    on_step: Optional[Callable] = None,
+    step_fn: Optional[Callable] = None,
+    initial_stats: Optional[accum.Stats] = None,
+    initial_samples: int = 0,
+    verbose: bool = False,
+) -> RenderResult:
+    """Full render with trials/benchmark support (render_scene,
+    raytracer.odin:602-665). In continuous mode (cfg.continuous) the loop
+    runs until interrupted; on_step(stats, samples_done) is called after
+    every device step (preview/checkpoint hook)."""
+    step = step_fn or make_render_step(cfg, fov_x)
+    timings = []
+    result_stats = None
+    samples_done = 0
+
+    target = cfg.samples if not cfg.continuous else None
+    for trial in range(trials):
+        stats = (
+            initial_stats
+            if (initial_stats is not None and trial == 0)
+            else accum.init_stats(cfg.num_layers, cfg.height, cfg.width)
+        )
+        samples_done = initial_samples if trial == 0 else 0
+        base_key = jax.random.PRNGKey(cfg.seed)
+        start = time.perf_counter()
+        while target is None or samples_done < target:
+            if interrupt:
+                break
+            stats = step(
+                scene, stats, base_key, jnp.int32(samples_done)
+            )
+            samples_done += cfg.samples_per_step
+            if on_step is not None:
+                on_step(stats, samples_done)
+        jax.block_until_ready(stats.count)
+        elapsed = time.perf_counter() - start
+        timings.append(elapsed)
+        if verbose:
+            print(f"Trial {trial} >>> Rendered in {elapsed*1000:.2f}ms")
+        result_stats = stats
+
+    if verbose and trials > 1:
+        print_perf_summary(timings)
+
+    rays = samples_done * cfg.width * cfg.height * cfg.ray_depth
+    return RenderResult(
+        stats=result_stats,
+        samples_done=samples_done,
+        trial_seconds=timings,
+        rays_cast=rays,
+    )
+
+
+def print_perf_summary(timings_s: list) -> None:
+    """Mean +/- Bessel-corrected std, best/median/worst
+    (raytracer.odin:648-664)."""
+    n = len(timings_s)
+    ts = sorted(timings_s)
+    mean = sum(ts) / n
+    var = sum(t * t for t in ts) / n - mean * mean
+    std = (var * n / max(n - 1, 1)) ** 0.5 if n > 1 else float("inf")
+    median = (ts[n // 2] + ts[(n + 1) // 2 if (n + 1) // 2 < n else n - 1]) / 2
+    print(">>>>>>>>> Performance Summary <<<<<<<<<")
+    print(f"Trials: {n}")
+    print(f"Time: {mean*1000:.02f}±{std*1000:.02f}ms")
+    print(
+        f"Best: {ts[0]*1000:.02f}ms, Median: {median*1000:.02f}ms, "
+        f"Worst: {ts[-1]*1000:.02f}ms"
+    )
+    print(">>>>>>>>> Performance Summary <<<<<<<<<")

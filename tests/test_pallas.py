@@ -1,0 +1,113 @@
+"""Pallas intersector tests (interpreter mode on CPU): parity with the
+reference-semantics intersectors, culling conservativeness, tiling."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracer_odin_tpu.ops import culling, traverse
+from raytracer_odin_tpu.ops import pallas_intersect as pi
+from tests.conftest import random_triangles
+from tests.test_bvh import make_scene
+
+
+def rays(rng, n, spread=8):
+    o = rng.uniform(-spread, spread, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("culled", [False, True])
+def test_pallas_matches_brute(culled):
+    rng = np.random.default_rng(0)
+    p, u, v = random_triangles(rng, 150)
+    scene = make_scene(p, u, v)
+    o, d = rays(rng, 600)
+    tb, ib, ub, vb = traverse.cast_rays_brute(scene, o, d)
+    tp, ip, up, vp = traverse.cast_rays_pallas(scene, o, d, culled=culled)
+    tb, ib = np.asarray(tb), np.asarray(ib)
+    tp, ip = np.asarray(tp), np.asarray(ip)
+    assert np.array_equal(ib >= 0, ip >= 0)
+    hit = ib >= 0
+    assert np.allclose(tb[hit], tp[hit], rtol=1e-4, atol=1e-4)
+    same = ib == ip
+    # index can differ only at exactly-equal t (shared edges)
+    assert np.allclose(tb[hit & ~same], tp[hit & ~same], rtol=1e-4, atol=1e-4)
+    assert np.allclose(np.asarray(ub)[same & hit], np.asarray(up)[same & hit],
+                       rtol=1e-3, atol=1e-4)
+
+
+def test_pallas_tiled_image_path():
+    """[H, W] ray grids go through the tile permutation; results must land
+    back at the right pixels."""
+    rng = np.random.default_rng(1)
+    p, u, v = random_triangles(rng, 60)
+    scene = make_scene(p, u, v)
+    h, w = 32, 64  # divisible by 16x32 tiles
+    o = jnp.asarray(rng.uniform(-8, 8, (h, w, 3)), jnp.float32)
+    d = jnp.asarray(rng.normal(size=(h, w, 3)), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    tb, ib, _, _ = traverse.cast_rays_brute(scene, o, d)
+    tp, ip, _, _ = traverse.cast_rays_pallas(scene, o, d, culled=True)
+    assert np.array_equal(np.asarray(ib) >= 0, np.asarray(ip) >= 0)
+    hit = np.asarray(ib) >= 0
+    assert np.allclose(np.asarray(tb)[hit], np.asarray(tp)[hit], rtol=1e-4, atol=1e-4)
+
+
+def test_cull_clusters_conservative():
+    """Per-ray AABB hits must be a subset of the bundle-level cull result."""
+    from raytracer_odin_tpu.ops.geometry import aabb_of_triangles, intersect_aabb
+
+    rng = np.random.default_rng(2)
+    p, u, v = random_triangles(rng, 256)
+    scene = make_scene(p, u, v)
+    n = pi.RB  # one block
+    o = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o_lo, o_hi, d_lo, d_hi = culling.block_bounds(jnp.asarray(o), jnp.asarray(d))
+    mask = np.asarray(
+        culling.cull_clusters(
+            o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
+        )
+    )[0]
+    # per-ray ground truth
+    clo = np.asarray(scene.cluster_lo)
+    chi = np.asarray(scene.cluster_hi)
+    inv = 1.0 / d
+    _, per_ray = jax.jit(intersect_aabb)(
+        jnp.asarray(o)[:, None], jnp.asarray(inv)[:, None],
+        jnp.asarray(clo)[None], jnp.asarray(chi)[None],
+        jnp.full((n, 1), 3e38),
+    )
+    truly_hit = np.asarray(per_ray).any(axis=0)
+    assert np.all(mask | ~truly_hit), "bundle cull dropped a hittable cluster"
+
+
+def test_build_lists():
+    mask = jnp.asarray([[True, False, True, False], [False, False, False, True]])
+    counts, lists = culling.build_lists(mask)
+    assert counts.tolist() == [2, 1]
+    assert lists[0, :2].tolist() == [0, 2]
+    assert lists[1, 0].tolist() == 3
+
+
+def test_axis_aligned_rays_pallas():
+    rng = np.random.default_rng(3)
+    p, u, v = random_triangles(rng, 80)
+    scene = make_scene(p, u, v)
+    dirs = []
+    for sx in (-1.0, 1.0):
+        for axis in range(3):
+            e = np.zeros(3, np.float32)
+            e[axis] = sx
+            dirs += [e] * 12
+    d = jnp.asarray(np.stack(dirs))
+    o = jnp.asarray(rng.uniform(-8, 8, (d.shape[0], 3)), jnp.float32)
+    tb, ib, _, _ = traverse.cast_rays_brute(scene, o, d)
+    tp, ip, _, _ = traverse.cast_rays_pallas(scene, o, d, culled=True)
+    assert np.array_equal(np.asarray(ib) >= 0, np.asarray(ip) >= 0)
+    hit = np.asarray(ib) >= 0
+    assert np.allclose(np.asarray(tb)[hit], np.asarray(tp)[hit], rtol=1e-4, atol=1e-4)

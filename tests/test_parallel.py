@@ -1,0 +1,92 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracer_odin_tpu.config import RenderConfig
+from raytracer_odin_tpu.parallel import mesh as pmesh
+from raytracer_odin_tpu.render import accum, runtime
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def cfg16(**kw):
+    base = dict(width=16, height=16, ray_depth=2, samples=4,
+                samples_per_step=4, debug_features=False)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def run_mesh(scene, cfg, fov_x, n_tile, n_spp, steps=1):
+    mesh = pmesh.make_mesh(n_tile=n_tile, n_spp=n_spp)
+    scene_r = pmesh.replicate_scene(scene, mesh)
+    stats = pmesh.shard_stats(accum.init_stats(1, cfg.height, cfg.width), mesh)
+    step = pmesh.make_sharded_render_step(cfg, fov_x, mesh, scene_r)
+    key = jax.random.PRNGKey(cfg.seed)
+    for i in range(steps):
+        stats = step(scene_r, stats, key, jnp.int32(i * cfg.samples_per_step))
+    return stats
+
+
+def test_sharded_matches_single_device(cube_scene):
+    host, scene = cube_scene
+    cfg = cfg16()
+    single = runtime.render_scene(scene, cfg, host.cam.fov_x)
+    for n_tile, n_spp in [(8, 1), (4, 2), (2, 4), (1, 8), (2, 2)]:
+        stats = run_mesh(scene, cfg, host.cam.fov_x, n_tile, n_spp)
+        assert np.allclose(
+            np.asarray(single.stats.total[0]), np.asarray(stats.total[0]),
+            rtol=1e-4, atol=1e-5,
+        ), (n_tile, n_spp)
+        assert np.allclose(
+            np.asarray(single.stats.first[0]), np.asarray(stats.first[0]),
+            rtol=1e-5, atol=1e-6,
+        )
+        assert np.allclose(
+            np.asarray(single.stats.last[0]), np.asarray(stats.last[0]),
+            rtol=1e-5, atol=1e-6,
+        )
+        assert np.allclose(np.asarray(stats.count[0]), cfg.samples_per_step)
+
+
+def test_sharded_multiple_steps(cube_scene):
+    host, scene = cube_scene
+    cfg = cfg16(samples=8)
+    single = runtime.render_scene(scene, cfg, host.cam.fov_x)
+    stats = run_mesh(scene, cfg, host.cam.fov_x, 4, 2, steps=2)
+    assert np.allclose(np.asarray(stats.count[0]), 8)
+    assert np.allclose(
+        np.asarray(single.stats.total[0]), np.asarray(stats.total[0]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_divisibility_errors(cube_scene):
+    host, scene = cube_scene
+    mesh = pmesh.make_mesh(n_tile=8, n_spp=1)
+    with pytest.raises(ValueError, match="not divisible"):
+        pmesh.make_sharded_render_step(
+            RenderConfig(width=16, height=20, samples_per_step=4), 1.0, mesh, scene
+        )
+    mesh2 = pmesh.make_mesh(n_tile=2, n_spp=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        pmesh.make_sharded_render_step(
+            RenderConfig(width=16, height=16, samples_per_step=3), 1.0, mesh2, scene
+        )
+
+
+def test_output_sharding_layout(cube_scene):
+    """Stats stay sharded across steps (no silent full replication)."""
+    host, scene = cube_scene
+    cfg = cfg16()
+    mesh = pmesh.make_mesh(n_tile=8, n_spp=1)
+    scene_r = pmesh.replicate_scene(scene, mesh)
+    stats = pmesh.shard_stats(accum.init_stats(1, 16, 16), mesh)
+    step = pmesh.make_sharded_render_step(cfg, host.cam.fov_x, mesh, scene_r)
+    out = step(scene_r, stats, jax.random.PRNGKey(0), jnp.int32(0))
+    shard_shapes = {s.data.shape for s in out.total.addressable_shards}
+    assert shard_shapes == {(1, 2, 16, 3)}  # 16 rows / 8 devices

@@ -1,0 +1,81 @@
+"""Headless preview tests: frame rendering, HTTP server, snapshot hook,
+debug-line overlay."""
+
+import urllib.request
+
+import numpy as np
+
+from raytracer_odin_tpu.config import RenderConfig
+from raytracer_odin_tpu.io import png
+from raytracer_odin_tpu.render import preview, runtime
+
+
+def rendered(cube_scene):
+    host, scene = cube_scene
+    cfg = RenderConfig(width=16, height=16, ray_depth=2, samples=2,
+                       samples_per_step=2, debug_features=False)
+    res = runtime.render_scene(scene, cfg, host.cam.fov_x)
+    return host, scene, res
+
+
+def test_frame_and_overlay(cube_scene):
+    host, scene, res = rendered(cube_scene)
+    pv = preview.Preview(
+        np.asarray(scene.cam_pos), np.asarray(scene.cam_basis),
+        host.cam.fov_x, (16, 16), flat_bvh=scene.bvh,
+    )
+    assert pv.frame() is None  # no stats yet
+    pv.update(res.stats, 2)
+    img = pv.frame(0, "mean")
+    assert img.shape == (16, 16, 3)
+    img2 = pv.frame(0, "mean", lines_level=1)
+    assert img2.shape == (16, 16, 3)
+    assert not np.array_equal(img, img2)  # overlay drew something
+
+
+def test_http_server(cube_scene):
+    host, scene, res = rendered(cube_scene)
+    pv = preview.Preview(
+        np.asarray(scene.cam_pos), np.asarray(scene.cam_basis),
+        host.cam.fov_x, (16, 16), flat_bvh=scene.bvh,
+    )
+    pv.update(res.stats, 2)
+    port = pv.serve(0)
+    try:
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=10
+        ).read()
+        assert b"preview" in html
+        frame = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/frame.png?layer=0&mode=mean", timeout=10
+        ).read()
+        img = png.decode(frame)
+        assert img.shape == (16, 16, 3)
+        var = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/frame.png?mode=variance&lines=1", timeout=10
+        ).read()
+        assert png.decode(var).shape == (16, 16, 3)
+    finally:
+        pv.stop()
+
+
+def test_snapshot_writer(cube_scene, tmp_path):
+    host, scene, res = rendered(cube_scene)
+    pv = preview.Preview(
+        np.asarray(scene.cam_pos), np.asarray(scene.cam_basis),
+        host.cam.fov_x, (16, 16),
+    )
+    snap = tmp_path / "snap.png"
+    w = preview.SnapshotWriter(pv, snap, every_s=0.0)
+    w(res.stats, 2)
+    assert snap.exists()
+    img = png.decode(snap.read_bytes())
+    assert img.shape == (16, 16, 3)
+
+
+def test_bvh_debug_lines(cube_scene):
+    host, scene = cube_scene
+    segs = preview.bvh_debug_lines(scene.bvh)
+    assert len(segs) > 0
+    # every node contributes 12 edges
+    assert len(segs) % 12 == 0
