@@ -5,21 +5,33 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": "Mrays/s",
 star: >= 200 Mrays/sec/chip at 1080p on the demo scene).
 
 Rays are counted as *traced path segments*: W * H * spp * E[path length],
-with the expected path length measured once from the integrator's bounce
-counter — dead-lane slots are not credited.
+with the expected path length measured once (and cached on disk) from the
+integrator's bounce counter — dead-lane slots are not credited.
+
+Robustness: the tunneled TPU occasionally wedges on back-to-back launches
+(UNAVAILABLE device errors); the measurement runs in a child process and the
+parent retries with a cool-down, so one transient fault doesn't sink the
+benchmark.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
+from pathlib import Path
 
-import numpy as np
+W, H, DEPTH = 1920, 1080, 8
+SCENE_DIR = "/tmp/bench_scenes"
+PROBE_CACHE = Path(__file__).parent / ".jax_cache" / "bench_probe.json"
 
 
-def main() -> None:
+def _measure() -> None:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from raytracer_odin_tpu.utils import compile_cache
 
@@ -31,32 +43,38 @@ def main() -> None:
     from raytracer_odin_tpu.ops.integrator import TraceOptions
     from raytracer_odin_tpu.render import accum, runtime
 
-    W, H, DEPTH = 1920, 1080, 8
-
-    info = assets.generate("demo", "/tmp/bench_scenes")
+    info = assets.generate("demo", SCENE_DIR)
     host = gltf.read_gltf(info["gltf"])
     scene = build.finish_scene(host)
     fov_x = host.cam.fov_x * (W / H)
+    key = jax.random.PRNGKey(0)
+
+    # Mean path length: measured once, cached (the demo scene is generated
+    # deterministically, so the value is stable).
+    probe_key = f"demo-{DEPTH}"
+    cached = {}
+    if PROBE_CACHE.exists():
+        cached = json.loads(PROBE_CACHE.read_text())
+    if probe_key in cached:
+        mean_len = cached[probe_key]
+    else:
+        opts = TraceOptions(depth=DEPTH, intersector="pallas", want_aux=True)
+        _, aux = jax.jit(
+            lambda s, k: runtime.sample_pass(s, k, fov_x, 128, 128, opts)
+        )(scene, key)
+        mean_len = float(np.asarray(aux["bounces"], np.float64).mean())
+        cached[probe_key] = mean_len
+        PROBE_CACHE.parent.mkdir(parents=True, exist_ok=True)
+        PROBE_CACHE.write_text(json.dumps(cached))
 
     cfg = RenderConfig(
         width=W, height=H, ray_depth=DEPTH, samples=1 << 30,
-        samples_per_step=1, debug_features=False, intersector="bvh",
+        samples_per_step=1, debug_features=False, intersector="pallas",
     )
     step = runtime.make_render_step(cfg, fov_x)
-    stats = accum.init_stats(1, H, W)
-    key = jax.random.PRNGKey(0)
 
-    # Measure mean path length once (small subsampled pass with aux).
-    opts = TraceOptions(depth=DEPTH, intersector="bvh", want_aux=True)
-    sub = 128
-    _, aux = jax.jit(
-        lambda s, k: runtime.sample_pass(s, k, fov_x, sub, sub, opts)
-    )(scene, key)
-    mean_len = float(np.asarray(aux["bounces"], np.float64).mean())
-
-    # Warmup (compile) then timed steps.
-    stats = step(scene, stats, key, jnp.int32(0))
-    jax.block_until_ready(stats.count)
+    stats = step(scene, accum.init_stats(1, H, W), key, jnp.int32(0))
+    jax.block_until_ready(stats.count)  # warmup / compile
     n_steps = 4
     t0 = time.perf_counter()
     for i in range(n_steps):
@@ -77,11 +95,35 @@ def main() -> None:
             "mean_path_length": round(mean_len, 3),
             "seconds_per_sample": round(dt / spp, 3),
             "depth": DEPTH,
+            "resolution": f"{W}x{H}",
             "triangles": int(scene.tri_p.shape[0]),
             "device": str(jax.devices()[0]),
         },
     }))
 
 
+def main() -> int:
+    attempts = 3
+    for k in range(attempts):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--child"],
+            capture_output=True, text=True, timeout=2400,
+        )
+        line = ""
+        for ln in (proc.stdout or "").splitlines():
+            if ln.startswith("{"):
+                line = ln
+        if proc.returncode == 0 and line:
+            print(line)
+            return 0
+        if k < attempts - 1:
+            time.sleep(120)  # let a wedged device recover
+    sys.stderr.write(proc.stderr[-2000:] if proc.stderr else "bench failed\n")
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        _measure()
+    else:
+        sys.exit(main())

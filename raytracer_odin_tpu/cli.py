@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Resume accumulation from --checkpoint")
     p.add_argument("--oracle", action="store_true",
                    help="Render with the independent CPU reference implementation")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="Enable jax_debug_nans (NaN-origin tracing)")
+    p.add_argument("--profile-dir", default="",
+                   help="Capture a jax.profiler device trace into this dir")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -160,7 +164,7 @@ def main(argv=None) -> int:
         flat = scene.bvh
         pv = preview.Preview(
             np.asarray(scene.cam_pos), np.asarray(scene.cam_basis), fov_x,
-            (width, height), flat_bvh=flat,
+            (width, height), flat_bvh=flat, scene=scene, ray_depth=depth,
         )
         if args.preview_port:
             port = pv.serve(args.preview_port)
@@ -197,14 +201,30 @@ def main(argv=None) -> int:
         if cfg.debug_features:
             log("note: AOV layers are accumulated only in single-device mode")
 
-    res = runtime.render_scene(
-        scene, cfg, fov_x, trials=trials,
-        interrupt=interrupt, on_step=on_step if hooks else None,
-        step_fn=step_fn,
-        initial_stats=initial_stats, initial_samples=initial_samples,
-        verbose=not args.quiet,
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    import contextlib
+
+    from raytracer_odin_tpu.utils import profiling
+
+    prof = (
+        profiling.trace(args.profile_dir)
+        if args.profile_dir
+        else contextlib.nullcontext()
     )
+    with prof:
+        res = runtime.render_scene(
+            scene, cfg, fov_x, trials=trials,
+            interrupt=interrupt, on_step=on_step if hooks else None,
+            step_fn=step_fn,
+            initial_stats=initial_stats, initial_samples=initial_samples,
+            verbose=not args.quiet,
+        )
     interrupt.uninstall()
+    if not args.quiet and res.trial_seconds:
+        mrays = res.rays_cast / max(sum(res.trial_seconds), 1e-9) / 1e6
+        print(f"Throughput (depth-bound): {mrays:.2f} Mrays/s")
 
     if args.checkpoint:
         checkpoint.save(args.checkpoint, res.stats, res.samples_done)

@@ -113,6 +113,42 @@ def build_lists(hit_mask):
     return counts, lists
 
 
+def coherence_keys(o, d, alive, scene_lo, scene_hi):
+    """Sort keys grouping rays into coherent bundles for bundle culling:
+    (dead last) | direction octant | origin morton cell | direction cell.
+
+    The TPU replacement for per-ray traversal order: instead of each ray
+    walking its own near-first tree order (raytracer.odin:396-404), rays are
+    re-bucketed each bounce so that bundle-level culling stays tight even for
+    incoherent secondary rays. Dead lanes sort to the end and are given
+    degenerate rays by the caller, so their bundles cull everything.
+    """
+    ext = jnp.maximum(scene_hi - scene_lo, 1e-6)
+    cell = jnp.clip(((o - scene_lo) / ext * 8.0).astype(jnp.int32), 0, 7)
+    # 3-bit interleave (morton) over the 8x8x8 origin grid
+    def spread3(x):
+        x = (x | (x << 8)) & 0x0300F
+        x = (x | (x << 4)) & 0x030C3
+        x = (x | (x << 2)) & 0x09249
+        return x
+    morton = (
+        spread3(cell[..., 0])
+        | (spread3(cell[..., 1]) << 1)
+        | (spread3(cell[..., 2]) << 2)
+    )
+    octant = (
+        (d[..., 0] < 0).astype(jnp.int32)
+        + 2 * (d[..., 1] < 0).astype(jnp.int32)
+        + 4 * (d[..., 2] < 0).astype(jnp.int32)
+    )
+    dq = (
+        (jnp.abs(d[..., 0]) > 0.5).astype(jnp.int32)
+        + 2 * (jnp.abs(d[..., 1]) > 0.5).astype(jnp.int32)
+    )
+    dead = (~alive).astype(jnp.int32)
+    return (dead << 17) | (octant << 14) | (morton << 2) | dq
+
+
 def tile_order(h: int, w: int, th: int = 16, tw: int = 32):
     """Static permutation info mapping [H, W] image order to coherent
     (th x tw) tiles of RB pixels. Requires h % th == 0 and w % tw == 0;

@@ -43,6 +43,9 @@ class TraceOptions(NamedTuple):
     brute_max_tris: int = 512
     light_chunk: int = 256
     want_aux: bool = False
+    # Re-bucket secondary-bounce rays into coherent bundles before casting
+    # (Pallas path only; the first bounce keeps image-tile order).
+    sort_rays: bool = True
 
 
 # shade_row column layout (models/build.py): p u v ng | n1 n2 n3 | tex1..3 |
@@ -177,7 +180,7 @@ def trace(scene, o, d, skey, opts: TraceOptions, stream_ids=None):
     has_lights = scene.light_p.shape[0] > 0
     env_tex = scene.env_tex
 
-    def bounce(state, b):
+    def bounce(state, b, sort=False):
         o, d, throughput, radiance, alive, aux = state
 
         t, tri_idx, bu, bv = traverse.cast_rays(
@@ -185,6 +188,8 @@ def trace(scene, o, d, skey, opts: TraceOptions, stream_ids=None):
             intersector=opts.intersector,
             brute_chunk=opts.brute_chunk,
             brute_max_tris=opts.brute_max_tris,
+            sort=sort,
+            alive=alive,
         )
         hit = (tri_idx >= 0) & alive
         missed = (~(tri_idx >= 0)) & alive
@@ -266,7 +271,17 @@ def trace(scene, o, d, skey, opts: TraceOptions, stream_ids=None):
         jnp.ones(batch_shape, bool),
         aux0,
     )
-    (o, d, throughput, radiance, alive, aux), _ = jax.lax.scan(
-        bounce, init, jnp.arange(opts.depth)
-    )
+    if opts.depth <= 0:
+        return init[3], aux0
+    # First bounce: camera rays are already tile-coherent; later bounces are
+    # re-bucketed (sort_rays) since scattered directions destroy coherence.
+    state, _ = bounce(init, 0, sort=False)
+    if opts.depth > 1:
+        (o, d, throughput, radiance, alive, aux), _ = jax.lax.scan(
+            lambda s, b: bounce(s, b, sort=opts.sort_rays),
+            state,
+            jnp.arange(1, opts.depth),
+        )
+    else:
+        (o, d, throughput, radiance, alive, aux) = state
     return radiance, aux

@@ -156,29 +156,62 @@ def cast_rays_bvh(scene, o, d, max_t=None):
     return best_t, best_i, best_u, best_v
 
 
-def cast_rays_pallas(scene, o, d, culled: bool = True):
+def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
+                     alive=None):
     """Pallas bundle-culled intersect (ops/pallas_intersect + ops/culling):
     rays grouped into RB-sized bundles; each bundle's conservative interval
     bound culls triangle clusters in dense XLA math, then the Pallas kernel
     sweeps the surviving clusters on the VPU. Same cast_ray semantics as the
-    other intersectors (RAY_EPS offset + re-add, raytracer.odin:416-430)."""
+    other intersectors (RAY_EPS offset + re-add, raytracer.odin:416-430).
+
+    sort=True re-buckets rays into coherent bundles by
+    (alive, octant, origin cell, direction cell) before culling — essential
+    for incoherent secondary bounces — and scatters results back to the
+    original lane order. Dead lanes (alive=False) are replaced by degenerate
+    far-away rays whose bundles cull everything.
+    """
     from raytracer_odin_tpu.ops import culling
     from raytracer_odin_tpu.ops import pallas_intersect as pi
 
     o = o + d * RAY_EPS
     batch_shape = o.shape[:-1]
 
-    tiled = (
-        len(batch_shape) == 2
-        and culling.tile_order(batch_shape[0], batch_shape[1])
-    )
-    if tiled:
-        h, w = batch_shape
-        o2 = culling.to_tiles(o, h, w)
-        d2 = culling.to_tiles(d, h, w)
-    else:
+    perm = None
+    if sort:
         o2 = o.reshape(-1, 3)
         d2 = d.reshape(-1, 3)
+        scene_lo = jnp.min(scene.cluster_lo, axis=0)
+        scene_hi = jnp.max(
+            jnp.where(scene.cluster_hi > -BIG, scene.cluster_hi, scene_lo),
+            axis=0,
+        )
+        if alive is None:
+            alive_f = jnp.ones(o2.shape[0], bool)
+        else:
+            alive_f = alive.reshape(-1)
+            far = scene_hi + 1000.0
+            o2 = jnp.where(alive_f[:, None], o2, far)
+            d2 = jnp.where(
+                alive_f[:, None], d2,
+                jnp.asarray([1.0, 0.0, 0.0], d2.dtype),
+            )
+        keys = culling.coherence_keys(o2, d2, alive_f, scene_lo, scene_hi)
+        perm = jnp.argsort(keys)
+        o2 = o2[perm]
+        d2 = d2[perm]
+        tiled = False
+    else:
+        tiled = (
+            len(batch_shape) == 2
+            and culling.tile_order(batch_shape[0], batch_shape[1])
+        )
+        if tiled:
+            h, w = batch_shape
+            o2 = culling.to_tiles(o, h, w)
+            d2 = culling.to_tiles(d, h, w)
+        else:
+            o2 = o.reshape(-1, 3)
+            d2 = d.reshape(-1, 3)
 
     if culled:
         n = o2.shape[0]
@@ -194,7 +227,15 @@ def cast_rays_pallas(scene, o, d, culled: bool = True):
     else:
         t, idx, bu, bv = pi.intersect_brute(scene.ptri, o2, d2)
 
-    if tiled:
+    if perm is not None:
+        # scatter back to original lane order
+        packed = jnp.stack([t, bu, bv, idx.astype(jnp.float32)], axis=-1)
+        unsorted = jnp.zeros_like(packed).at[perm].set(packed)
+        t = unsorted[:, 0].reshape(batch_shape)
+        bu = unsorted[:, 1].reshape(batch_shape)
+        bv = unsorted[:, 2].reshape(batch_shape)
+        idx = unsorted[:, 3].astype(jnp.int32).reshape(batch_shape)
+    elif tiled:
         h, w = batch_shape
         t = culling.from_tiles(t[:, None], h, w)[..., 0]
         idx = culling.from_tiles(idx[:, None], h, w)[..., 0]
@@ -211,13 +252,15 @@ def cast_rays_pallas(scene, o, d, culled: bool = True):
 
 
 def cast_rays(scene, o, d, *, intersector: str = "auto", brute_chunk: int = 512,
-              brute_max_tris: int = 512):
+              brute_max_tris: int = 512, sort: bool = False, alive=None):
     """Dispatch between intersectors (static decision at trace time).
 
     "auto" is backend-aware: on TPU the per-lane-gather BVH walk gets
     scalarized by XLA (measured ~0.1 Mrays/s and minutes of compile), so TPU
     uses the Pallas bundle-culled kernel; CPU uses the BVH walk for big
     scenes (where it vectorizes fine) and the dense sweep for tiny ones.
+    sort/alive are honored by the Pallas path (coherent re-bucketing of
+    secondary rays); other intersectors are order-insensitive.
     """
     n_tri = scene.tri_p.shape[0]
     if intersector == "auto":
@@ -226,7 +269,7 @@ def cast_rays(scene, o, d, *, intersector: str = "auto", brute_chunk: int = 512,
         else:
             intersector = "pallas"
     if intersector == "pallas":
-        return cast_rays_pallas(scene, o, d, culled=True)
+        return cast_rays_pallas(scene, o, d, culled=True, sort=sort, alive=alive)
     if intersector == "pallas_brute":
         return cast_rays_pallas(scene, o, d, culled=False)
     if intersector == "brute":

@@ -96,14 +96,21 @@ def _box_edges(a, b):
 
 
 class Preview:
-    """Holds the latest stats snapshot; renders frames on demand."""
+    """Holds the latest stats snapshot; renders frames on demand.
 
-    def __init__(self, cam_pos, cam_basis, fov_x, dims, flat_bvh=None):
+    With `scene` and `ray_depth` provided, ?pixel=x,y on /frame.png overlays
+    the traced ray paths of that pixel (the EXPENSIVE_DEBUG hover feature,
+    debug.odin:102-125, via render/debug_rays.py)."""
+
+    def __init__(self, cam_pos, cam_basis, fov_x, dims, flat_bvh=None,
+                 scene=None, ray_depth=8):
         self.cam_pos = np.asarray(cam_pos)
         self.cam_basis = np.asarray(cam_basis)
         self.fov_x = fov_x
         self.dims = dims
         self.flat_bvh = flat_bvh
+        self.scene = scene
+        self.ray_depth = ray_depth
         self._lock = threading.Lock()
         self._stats = None
         self.samples_done = 0
@@ -114,7 +121,8 @@ class Preview:
             self._stats = stats
             self.samples_done = samples_done
 
-    def frame(self, layer=0, mode="mean", lines_level=None) -> np.ndarray | None:
+    def frame(self, layer=0, mode="mean", lines_level=None,
+              pixel=None) -> np.ndarray | None:
         with self._lock:
             stats = self._stats
         if stats is None:
@@ -128,6 +136,23 @@ class Preview:
                 )
                 if ok:
                     draw_line(img, s0, s1, color)
+        if pixel is not None and self.scene is not None:
+            from raytracer_odin_tpu.render import debug_rays
+
+            px, py_img = pixel
+            # image row -> reference pixel y (y up)
+            py = self.dims[1] - 1 - py_img
+            segs = debug_rays.trace_pixel_paths(
+                self.scene, self.dims[0], self.dims[1], self.fov_x,
+                self.ray_depth, px, py,
+            )
+            for seg in segs:
+                s0, s1, ok = line_to_screen(
+                    self.cam_pos, self.cam_basis, self.fov_x, self.dims,
+                    seg.origin, seg.end,
+                )
+                if ok:
+                    draw_line(img, s0, s1, seg.color)
         return img
 
     # -- HTTP ---------------------------------------------------------------
@@ -154,7 +179,12 @@ class Preview:
                     mode = q.get("mode", ["mean"])[0]
                     lines = q.get("lines", [None])[0]
                     lines_level = int(lines) if lines not in (None, "", "off") else None
-                    img = preview.frame(layer, mode, lines_level)
+                    pix = q.get("pixel", [None])[0]
+                    pixel = None
+                    if pix:
+                        xy = pix.split(",")
+                        pixel = (int(xy[0]), int(xy[1]))
+                    img = preview.frame(layer, mode, lines_level, pixel)
                     if img is None:
                         self.send_response(503)
                         self.end_headers()

@@ -39,6 +39,25 @@ def test_pallas_matches_brute(culled):
                        rtol=1e-3, atol=1e-4)
 
 
+def test_pallas_sorted_matches_unsorted():
+    """Coherence sorting must not change any result, and dead lanes must
+    come back as misses."""
+    rng = np.random.default_rng(7)
+    p, u, v = random_triangles(rng, 120)
+    scene = make_scene(p, u, v)
+    o, d = rays(rng, 700)
+    alive = jnp.asarray(rng.random(700) < 0.7)
+    t0, i0, u0, v0 = traverse.cast_rays_pallas(scene, o, d, culled=True, sort=False)
+    t1, i1, u1, v1 = traverse.cast_rays_pallas(
+        scene, o, d, culled=True, sort=True, alive=alive
+    )
+    live = np.asarray(alive)
+    assert np.array_equal(np.asarray(i0)[live], np.asarray(i1)[live])
+    assert np.allclose(np.asarray(t0)[live], np.asarray(t1)[live], rtol=1e-5, atol=1e-5)
+    # dead lanes: degenerate rays -> misses
+    assert np.all(np.asarray(i1)[~live] == -1)
+
+
 def test_pallas_tiled_image_path():
     """[H, W] ray grids go through the tile permutation; results must land
     back at the right pixels."""

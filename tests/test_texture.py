@@ -110,9 +110,10 @@ def test_env_equirect_orientation():
     sc = AtlasScene([HostTexture(data, True)])
     # exactly +/-1 y wraps (v=1 -> row 0, reference %% semantics); probe just
     # off the poles instead
-    # y=+-0.92 lands inside the top/bottom texel rows without the wrap blend
-    up_d = np.asarray([[0.392, 0.92, 0.0]])
-    dn_d = np.asarray([[0.392, -0.92, 0.0]])
+    # floor/ceil bilinear means only integral pixel coords avoid blending:
+    # up: py~0.3 (70% top row); down: py=7.0 exactly (pure bottom row)
+    up_d = np.asarray([[0.148, 0.989, 0.0]])
+    dn_d = np.asarray([[0.3827, -0.9239, 0.0]])
     up = np.asarray(texture.sample_env(sc, jnp.asarray(up_d), 0))
     down = np.asarray(texture.sample_env(sc, jnp.asarray(dn_d), 0))
     assert up[0, 0] > 0.5 and up[0, 1] < 0.5      # red at top
