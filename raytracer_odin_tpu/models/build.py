@@ -165,5 +165,5 @@ def finish_scene(host: HostScene, env_map: HostTexture | None = None,
         ),
         cam_pos=f32(host.cam.pos),
         cam_basis=f32(host.cam.basis),
-        env_tex=i32(env_tex_id),
+        env_tex=int(env_tex_id),
     )

@@ -109,17 +109,25 @@ class HostScene:
             setattr(self, name, np.concatenate([cur, np.asarray(arr)], axis=0))
 
 
-def _register_pytree(cls):
-    """Register a dataclass of arrays as a jax pytree node."""
+def _register_pytree(cls, static_fields=()):
+    """Register a dataclass of arrays as a jax pytree node. `static_fields`
+    become aux data: python values that select the compiled program (e.g.
+    env-map presence) instead of traced arrays."""
     if jax is None:  # pragma: no cover
         return cls
-    fields = [f.name for f in dataclasses.fields(cls)]
+    fields = [
+        f.name for f in dataclasses.fields(cls) if f.name not in static_fields
+    ]
+    static_fields = tuple(static_fields)
 
     def flatten(obj):
-        return [getattr(obj, n) for n in fields], None
+        aux = tuple(getattr(obj, n) for n in static_fields)
+        return [getattr(obj, n) for n in fields], aux
 
-    def unflatten(_, children):
-        return cls(**dict(zip(fields, children)))
+    def unflatten(aux, children):
+        kw = dict(zip(fields, children))
+        kw.update(dict(zip(static_fields, aux)))
+        return cls(**kw)
 
     jax.tree_util.register_pytree_node(cls, flatten, unflatten)
     return cls
@@ -140,10 +148,10 @@ class DeviceBVH:
     miss_link: Any   # [8, B] i32
 
 
-@_register_pytree
 @dataclass
 class DeviceScene:
-    """Device-resident SoA scene pytree (all jnp arrays)."""
+    """Device-resident SoA scene pytree (all jnp arrays; `env_tex` is
+    static aux — env-map presence selects the compiled program)."""
 
     # Triangles (BVH-permuted order so leaves index contiguous ranges):
     tri_p: Any       # [T, 3]
@@ -186,8 +194,8 @@ class DeviceScene:
     # Camera (traced values; fov kept static on the python side too):
     cam_pos: Any              # [3]
     cam_basis: Any            # [3, 3]
-    # Environment map texture id (static python int, -1 = none) kept as aux:
-    env_tex: Any              # [] i32
+    # Environment map texture id: static python int, -1 = none (pytree aux).
+    env_tex: int = -1
 
     # -- static metadata (not traced; stored via pytree aux would complicate
     #    donation, so kept as plain ints reconstructed from shapes) --
@@ -198,3 +206,6 @@ class DeviceScene:
     @property
     def num_lights(self) -> int:
         return self.light_p.shape[0]
+
+
+_register_pytree(DeviceScene, static_fields=("env_tex",))

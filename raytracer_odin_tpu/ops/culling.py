@@ -101,15 +101,24 @@ def cull_clusters(o_lo, o_hi, d_lo, d_hi, clo, chi):
     return (near <= far) & (far >= 0)
 
 
-def build_lists(hit_mask):
-    """[NB, C] bool -> (counts [NB] i32, lists [NB, C] i32): hit cluster ids
-    packed to the front of each row (stable order)."""
+def build_lists(hit_mask, cap: int | None = None):
+    """[NB, C] bool -> (counts [NB] i32, lists [NB, min(C, cap)] i32): hit
+    cluster ids packed to the front of each row (stable order).
+
+    With `cap`, rows hitting more than cap clusters get count = -1 (overflow
+    sentinel): the kernel then sweeps ALL clusters for that block — correct,
+    just unculled. Capping bounds the SMEM footprint of scalar prefetch for
+    large scenes.
+    """
     nb, c = hit_mask.shape
     ids = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[None], (nb, c))
     # stable sort: misses pushed to the end
     order = jnp.argsort(jnp.where(hit_mask, ids, c + ids), axis=-1)
     lists = jnp.take_along_axis(ids, order, axis=-1)
     counts = jnp.sum(hit_mask, axis=-1).astype(jnp.int32)
+    if cap is not None and cap < c:
+        counts = jnp.where(counts > cap, -1, counts)
+        lists = lists[:, :cap]
     return counts, lists
 
 

@@ -194,8 +194,11 @@ def trace(scene, o, d, skey, opts: TraceOptions, stream_ids=None):
         hit = (tri_idx >= 0) & alive
         missed = (~(tri_idx >= 0)) & alive
 
-        env = texture.sample_env(scene, d, env_tex)
-        radiance = radiance + jnp.where(missed[..., None], throughput * env, 0.0)
+        if env_tex >= 0:
+            env = texture.sample_env(scene, d, env_tex)
+            radiance = radiance + jnp.where(
+                missed[..., None], throughput * env, 0.0
+            )
 
         m = _point_material(scene, d, tri_idx, bu, bv)
         flip = m["inside"][..., None]

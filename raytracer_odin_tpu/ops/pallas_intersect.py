@@ -43,9 +43,14 @@ BIG = 3.0e38
 
 
 def _cluster_test(tris_ref, base, ox, oy, oz, dx, dy, dz,
-                  best_t, best_u, best_v, best_i):
-    """Test LEAF consecutive triangles (starting at row `base`) against the
-    ray block. All inputs (1, RB); returns updated bests."""
+                  best_t, best_u, best_v, best_i, index_base=None):
+    """Test LEAF consecutive triangles (starting at row `base` of tris_ref)
+    against the ray block. All ray inputs (1, RB); returns updated bests.
+    `index_base` is the global triangle index of row `base` (defaults to
+    base; the streaming kernel reads from a local scratch but must report
+    global indices)."""
+    if index_base is None:
+        index_base = base
 
     def col(j):
         return tris_ref[pl.ds(base, LEAF), j:j + 1]  # (LEAF, 1)
@@ -84,7 +89,7 @@ def _cluster_test(tris_ref, base, ox, oy, oz, dx, dy, dz,
     u_sel = jnp.sum(jnp.where(onehot, bu, 0.0), axis=0, keepdims=True)
     v_sel = jnp.sum(jnp.where(onehot, bv, 0.0), axis=0, keepdims=True)
 
-    idx = base.astype(jnp.float32) + win_row
+    idx = jnp.asarray(index_base, jnp.float32) + win_row
     best_u = jnp.where(better, u_sel, best_u)
     best_v = jnp.where(better, v_sel, best_v)
     best_i = jnp.where(better, idx, best_i)
@@ -125,9 +130,11 @@ def _brute_kernel(rays_ref, tris_ref, out_ref, *, n_clusters: int):
     _finish(out_ref, best_t, best_u, best_v, best_i)
 
 
-def _culled_kernel(counts_ref, lists_ref, rays_ref, tris_ref, out_ref):
+def _culled_kernel(counts_ref, lists_ref, rays_ref, tris_ref, out_ref,
+                   *, n_clusters: int):
     """counts/lists arrive via scalar prefetch (SMEM): lists_ref[b, k] is the
-    k-th cluster id for ray block b, k < counts_ref[b]."""
+    k-th cluster id for ray block b, k < counts_ref[b]. count == -1 marks
+    list overflow: sweep every cluster (correct, just unculled)."""
     b = pl.program_id(0)
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
@@ -143,15 +150,77 @@ def _culled_kernel(counts_ref, lists_ref, rays_ref, tris_ref, out_ref):
         jnp.full((1, RB), -1.0, jnp.float32),
     )
 
+    count = counts_ref[b]
+    overflow = count < 0
+    n = jnp.where(overflow, n_clusters, count)
+
     def body(k, carry):
-        cid = lists_ref[b, k]
+        cid = jnp.where(overflow, k, lists_ref[b, jnp.minimum(k, lists_ref.shape[1] - 1)])
         return _cluster_test(
             tris_ref, cid * LEAF, ox, oy, oz, dx, dy, dz, *carry
         )
 
-    best_t, best_u, best_v, best_i = jax.lax.fori_loop(
-        0, counts_ref[b], body, init
+    best_t, best_u, best_v, best_i = jax.lax.fori_loop(0, n, body, init)
+    _finish(out_ref, best_t, best_u, best_v, best_i)
+
+
+def _culled_stream_kernel(counts_ref, lists_ref, rays_ref, tris_hbm, out_ref,
+                          scratch_ref, sem_ref, *, n_clusters: int):
+    """Streaming variant for scenes too large for VMEM residency: the
+    triangle array stays in HBM; each cluster's LEAF rows are DMA'd into a
+    double-buffered VMEM scratch, overlapping the copy of cluster k+1 with
+    the intersection math of cluster k (pallas_guide double-buffer pattern).
+    """
+    b = pl.program_id(0)
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    dx = rays_ref[3:4, :]
+    dy = rays_ref[4:5, :]
+    dz = rays_ref[5:6, :]
+
+    count = counts_ref[b]
+    overflow = count < 0
+    n = jnp.where(overflow, n_clusters, count)
+
+    def cid_of(k):
+        return jnp.where(
+            overflow, k, lists_ref[b, jnp.minimum(k, lists_ref.shape[1] - 1)]
+        )
+
+    def dma(slot, k):
+        return pltpu.make_async_copy(
+            tris_hbm.at[pl.ds(cid_of(k) * LEAF, LEAF), :],
+            scratch_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    @pl.when(n > 0)
+    def _():
+        dma(0, 0).start()
+
+    init = (
+        jnp.full((1, RB), BIG, jnp.float32),
+        jnp.zeros((1, RB), jnp.float32),
+        jnp.zeros((1, RB), jnp.float32),
+        jnp.full((1, RB), -1.0, jnp.float32),
     )
+
+    def body(k, carry):
+        slot = jax.lax.rem(k, 2)
+        nxt = jax.lax.rem(k + 1, 2)
+
+        @pl.when(k + 1 < n)
+        def _():
+            dma(nxt, k + 1).start()
+
+        dma(slot, k).wait()
+        return _cluster_test(
+            scratch_ref.at[slot], 0, ox, oy, oz, dx, dy, dz, *carry,
+            index_base=cid_of(k) * LEAF,
+        )
+
+    best_t, best_u, best_v, best_i = jax.lax.fori_loop(0, n, body, init)
     _finish(out_ref, best_t, best_u, best_v, best_i)
 
 
@@ -232,25 +301,52 @@ def intersect_brute(scene_tris, o, d):
     return unpack_hits(out, batch_shape, n)
 
 
+# Above this triangle count the packed array stops being VMEM-resident and
+# clusters are DMA-streamed from HBM instead (lane padding makes a resident
+# row cost 512 B of VMEM: ~24k rows ~ 12 MB). Overridable for tests.
+VMEM_RESIDENT_TRIS = 24 * 1024
+
+
+def _stream_threshold() -> int:
+    import os
+
+    return int(os.environ.get("RT_TPU_STREAM_TRIS", VMEM_RESIDENT_TRIS))
+
+
 def _culled_call(counts, lists, rays, tris):
     npad = rays.shape[1]
+    n_clusters = tris.shape[0] // LEAF
+    stream = tris.shape[0] > _stream_threshold()
+    tris_spec = pl.BlockSpec(
+        memory_space=pltpu.ANY if stream else pltpu.VMEM,
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(npad // RB,),
         in_specs=[
             # index maps receive (grid idx, *scalar_prefetch_refs)
             pl.BlockSpec((8, RB), lambda i, *_: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (tris.shape[0], 12), lambda i, *_: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            tris_spec,
         ],
         out_specs=pl.BlockSpec(
             (8, RB), lambda i, *_: (0, i), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=(
+            [
+                pltpu.VMEM((2, LEAF, 12), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            if stream
+            else []
+        ),
+    )
+    kernel = (
+        functools.partial(_culled_stream_kernel, n_clusters=n_clusters)
+        if stream
+        else functools.partial(_culled_kernel, n_clusters=n_clusters)
     )
     return pl.pallas_call(
-        _culled_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, npad), jnp.float32),
         interpret=_interpret(),

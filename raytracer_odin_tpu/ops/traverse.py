@@ -222,7 +222,9 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
         mask = culling.cull_clusters(
             o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
         )
-        counts, lists = culling.build_lists(mask)
+        # Cap list length to bound SMEM; rare overflow blocks sweep all
+        # clusters inside the kernel (correct, just unculled).
+        counts, lists = culling.build_lists(mask, cap=192)
         t, idx, bu, bv = pi.intersect_culled(scene.ptri, counts, lists, o2, d2)
     else:
         t, idx, bu, bv = pi.intersect_brute(scene.ptri, o2, d2)

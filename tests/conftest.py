@@ -3,13 +3,23 @@ sharding tests run anywhere (SURVEY.md section 4)."""
 
 import os
 
-# The image sets JAX_PLATFORMS=axon (the TPU tunnel plugin); override both
-# selectors so the whole suite runs on the CPU backend regardless.
+# The image sets JAX_PLATFORMS=axon (the TPU tunnel plugin) and a
+# sitecustomize that imports jax at interpreter startup, so env vars alone
+# arrive too late — force the CPU backend through jax.config as well (it
+# takes effect as long as no backend has been initialized yet).
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    f"tests must run on CPU, got {jax.default_backend()}"
+)
+assert len(jax.devices()) >= 8, "xla_force_host_platform_device_count not applied"
 
 import numpy as np
 import pytest

@@ -15,8 +15,8 @@ pytestmark = pytest.mark.skipif(
 
 
 def cfg16(**kw):
-    base = dict(width=16, height=16, ray_depth=2, samples=4,
-                samples_per_step=4, debug_features=False)
+    base = dict(width=16, height=16, ray_depth=2, samples=8,
+                samples_per_step=8, debug_features=False)
     base.update(kw)
     return RenderConfig(**base)
 
@@ -55,7 +55,7 @@ def test_sharded_matches_single_device(cube_scene):
 
 def test_sharded_multiple_steps(cube_scene):
     host, scene = cube_scene
-    cfg = cfg16(samples=8)
+    cfg = cfg16(samples=8, samples_per_step=4)
     single = runtime.render_scene(scene, cfg, host.cam.fov_x)
     stats = run_mesh(scene, cfg, host.cam.fov_x, 4, 2, steps=2)
     assert np.allclose(np.asarray(stats.count[0]), 8)

@@ -1,0 +1,73 @@
+"""Large-scene paths: list-cap overflow handling and the DMA-streamed
+cluster kernel (interpreter mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from raytracer_odin_tpu.ops import culling, traverse
+from tests.conftest import random_triangles
+from tests.test_bvh import make_scene
+
+
+def rays(rng, n):
+    o = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_list_cap_overflow_is_correct():
+    """Force overflow (cap=2): overflow blocks must sweep all clusters and
+    still match brute force exactly."""
+    rng = np.random.default_rng(0)
+    p, u, v = random_triangles(rng, 400)  # many clusters
+    scene = make_scene(p, u, v)
+    o, d = rays(rng, 600)
+    tb, ib, _, _ = traverse.cast_rays_brute(scene, o, d)
+
+    from raytracer_odin_tpu.ops import pallas_intersect as pi
+    from raytracer_odin_tpu.ops.geometry import RAY_EPS, BIG
+
+    oo = o + d * RAY_EPS
+    n = oo.shape[0]
+    npad = ((n + pi.RB - 1) // pi.RB) * pi.RB
+    o_p = jnp.pad(oo, ((0, npad - n), (0, 0)), constant_values=BIG)
+    d_p = jnp.pad(d, ((0, npad - n), (0, 0)))
+    o_lo, o_hi, d_lo, d_hi = culling.block_bounds(o_p, d_p)
+    mask = culling.cull_clusters(
+        o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
+    )
+    counts, lists = culling.build_lists(mask, cap=2)
+    assert (np.asarray(counts) == -1).any(), "test setup should overflow"
+    t, idx, bu, bv = pi.intersect_culled(scene.ptri, counts, lists, oo, d)
+    t = jnp.where(idx >= 0, t + RAY_EPS, BIG)
+    assert np.array_equal(np.asarray(ib) >= 0, np.asarray(idx) >= 0)
+    hit = np.asarray(ib) >= 0
+    assert np.allclose(np.asarray(tb)[hit], np.asarray(t)[hit], rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_kernel_matches_resident(monkeypatch):
+    """Force the DMA-streamed path on a small scene: identical results."""
+    monkeypatch.setenv("RT_TPU_STREAM_TRIS", "1")
+    rng = np.random.default_rng(1)
+    p, u, v = random_triangles(rng, 200)
+    scene = make_scene(p, u, v)
+    o, d = rays(rng, 600)
+    t1, i1, u1, v1 = traverse.cast_rays_pallas(scene, o, d, culled=True)
+    monkeypatch.delenv("RT_TPU_STREAM_TRIS")
+    t0, i0, u0, v0 = traverse.cast_rays_pallas(scene, o, d, culled=True)
+    assert np.array_equal(np.asarray(i0), np.asarray(i1))
+    hit = np.asarray(i0) >= 0
+    assert np.allclose(np.asarray(t0)[hit], np.asarray(t1)[hit], rtol=1e-5, atol=1e-5)
+    assert np.allclose(np.asarray(u0)[hit], np.asarray(u1)[hit], rtol=1e-4, atol=1e-5)
+
+
+def test_city_scene_generates():
+    from raytracer_odin_tpu.io import gltf
+    from raytracer_odin_tpu.models import assets
+
+    info = assets.generate("city", "/tmp/city_test")
+    host = gltf.read_gltf(info["gltf"])
+    assert host.num_triangles > 50_000
+    assert host.cam.fov_x > 0
