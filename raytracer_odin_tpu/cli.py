@@ -48,7 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Image-tile devices (default: all)")
     p.add_argument("--spp-devices", type=int, default=1,
                    help="Sample-sharding devices (mesh second axis)")
-    p.add_argument("--intersector", choices=["auto", "bvh", "brute"], default="auto")
+    p.add_argument("--intersector",
+                   choices=["auto", "bvh", "brute", "pallas", "pallas_brute"],
+                   default="auto")
+    p.add_argument("--pool", action="store_true",
+                   help="Persistent wavefront pool (stream compaction); "
+                        "implies no debug layers")
+    p.add_argument("--pool-fraction", type=float, default=0.5)
     p.add_argument("--layer", type=int, default=0, help="Output layer (0-9)")
     p.add_argument("--mode", default="mean",
                    choices=["mean", "variance", "first", "last", "count",
@@ -113,8 +119,9 @@ def main(argv=None) -> int:
     cfg = RenderConfig(
         width=width, height=height, ray_depth=depth, samples=samples,
         continuous=args.continious, samples_per_step=spp_step,
-        seed=args.seed, debug_features=args.debug,
+        seed=args.seed, debug_features=args.debug and not args.pool,
         intersector=args.intersector,
+        wavefront_pool=args.pool, pool_fraction=args.pool_fraction,
     )
 
     scene = build_mod.finish_scene(host, env_map=env_tex, verbose=not args.quiet)

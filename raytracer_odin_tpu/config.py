@@ -46,6 +46,11 @@ class RenderConfig:
     brute_chunk: int = 512
     brute_max_tris: int = 512
     precision: str = "f32"
+    # Persistent wavefront pool (stream compaction): processes the step's
+    # (pixel x sample) work queue through a fixed lane pool so dead paths
+    # stop occupying VPU slots. Requires debug_features=False.
+    wavefront_pool: bool = False
+    pool_fraction: float = 0.5  # pool lanes as a fraction of pixels
     # Number of devices to shard the image over (None = all available).
     num_devices: Optional[int] = None
 

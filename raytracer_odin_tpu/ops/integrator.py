@@ -158,6 +158,41 @@ def lane_uniforms(key, stream_ids, n: int):
     return draws.reshape(stream_ids.shape + (n,))
 
 
+def eval_bounce(scene, d, tri_idx, bu, bv, uniforms, opts: TraceOptions,
+                has_lights: bool):
+    """Shared per-vertex shading logic (used by the batched trace and the
+    persistent wavefront pool): material evaluation, mixture sampling, pdf,
+    BRDF value and the continuation rule.
+
+    Returns dict: hit_valid-independent fields are garbage on misses and
+    must be masked by the caller (`hit`).
+    """
+    m = _point_material(scene, d, tri_idx, bu, bv)
+    flip = m["inside"][..., None]
+    normal = jnp.where(flip, -m["normal"], m["normal"])
+
+    new_d = shading.sample_direction(
+        scene, m["pos"], normal, m["roughness"], d, uniforms, has_lights
+    )
+    pdf = shading.mixture_pdf(
+        scene, m["pos"], normal, m["roughness"], d, new_d, has_lights,
+        light_chunk=opts.light_chunk,
+    )
+    value = shading.shade(
+        m["color"], normal, m["metallic"], m["roughness"], d, new_d
+    )
+    # Continuation rule (raytracer.odin:495): NaN compares false.
+    cont = norm_l1(value) / pdf > 1e-5
+    return {
+        "material": m,
+        "normal": normal,
+        "new_d": new_d,
+        "pdf": pdf,
+        "value": value,
+        "cont": cont,
+    }
+
+
 def trace(scene, o, d, skey, opts: TraceOptions, stream_ids=None):
     """Trace radiance for a batch of rays.
 
@@ -200,34 +235,24 @@ def trace(scene, o, d, skey, opts: TraceOptions, stream_ids=None):
                 missed[..., None], throughput * env, 0.0
             )
 
-        m = _point_material(scene, d, tri_idx, bu, bv)
-        flip = m["inside"][..., None]
-        normal = jnp.where(flip, -m["normal"], m["normal"])
+        key = jax.random.fold_in(skey, b)
+        uniforms = lane_uniforms(key, stream_ids, 6)
+
+        ev = eval_bounce(scene, d, tri_idx, bu, bv, uniforms, opts, has_lights)
+        m = ev["material"]
+        normal = ev["normal"]
+        pdf = ev["pdf"]
 
         radiance = radiance + jnp.where(
             hit[..., None], throughput * m["emission"], 0.0
         )
 
-        key = jax.random.fold_in(skey, b)
-        uniforms = lane_uniforms(key, stream_ids, 6)
-
-        new_d = shading.sample_direction(
-            scene, m["pos"], normal, m["roughness"], d, uniforms, has_lights
-        )
-        pdf = shading.mixture_pdf(
-            scene, m["pos"], normal, m["roughness"], d, new_d, has_lights,
-            light_chunk=opts.light_chunk,
-        )
-        value = shading.shade(
-            m["color"], normal, m["metallic"], m["roughness"], d, new_d
-        )
-
-        # Continuation rule (raytracer.odin:495): NaN compares false.
-        cont = (norm_l1(value) / pdf > 1e-5) & hit
-        ratio = value / pdf[..., None]
+        cont = ev["cont"] & hit
+        ratio = ev["value"] / pdf[..., None]
         throughput = jnp.where(
             cont[..., None], throughput * ratio, throughput
         )
+        new_d = ev["new_d"]
 
         if opts.want_aux:
             first = aux["bounces"] == 0

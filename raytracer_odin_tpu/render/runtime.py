@@ -124,6 +124,8 @@ def make_render_step(cfg: RenderConfig, fov_x: float) -> Callable:
     """Build the jitted step: (scene, stats, base_key, sample_start) ->
     stats. Computes cfg.samples_per_step full-image samples sequentially
     (preserving first/last ordering) and folds them into stats."""
+    if cfg.wavefront_pool:
+        return make_pool_render_step(cfg, fov_x)
     opts = TraceOptions(
         depth=cfg.ray_depth,
         intersector=cfg.intersector,
@@ -175,6 +177,53 @@ def make_render_step(cfg: RenderConfig, fov_x: float) -> Callable:
             sample_start + jnp.arange(cfg.samples_per_step),
         )
         return stats
+
+    return step
+
+
+def make_pool_render_step(cfg: RenderConfig, fov_x: float) -> Callable:
+    """Persistent-wavefront step (ops/wavefront.py): same signature and
+    accumulator semantics as the batched step, beauty layer only."""
+    if cfg.debug_features:
+        raise ValueError("wavefront_pool requires debug_features=False")
+    from raytracer_odin_tpu.ops import wavefront
+
+    opts = TraceOptions(
+        depth=cfg.ray_depth,
+        intersector=cfg.intersector,
+        brute_chunk=cfg.brute_chunk,
+        brute_max_tris=cfg.brute_max_tris,
+        light_chunk=cfg.light_chunk,
+        want_aux=False,
+    )
+    H, W = cfg.height, cfg.width
+    n = H * W
+    pool = max(1024, int(n * cfg.pool_fraction))
+    # round to ray-block multiples for the Pallas intersector
+    from raytracer_odin_tpu.ops.pallas_intersect import RB
+
+    pool = ((pool + RB - 1) // RB) * RB
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def step(scene, stats, base_key, sample_start):
+        ps = wavefront.PoolStats(
+            first=stats.first[0].reshape(n, 3),
+            last=stats.last[0].reshape(n, 3),
+            total=stats.total[0].reshape(n, 3),
+            total_sq=stats.total_sq[0].reshape(n, 3),
+        )
+        ps = wavefront.render_pool_step(
+            scene, ps, base_key, sample_start,
+            width=W, height=H, fov_x=fov_x,
+            samples=cfg.samples_per_step, pool_size=pool, opts=opts,
+        )
+        return accum.Stats(
+            first=stats.first.at[0].set(ps.first.reshape(H, W, 3)),
+            last=stats.last.at[0].set(ps.last.reshape(H, W, 3)),
+            total=stats.total.at[0].set(ps.total.reshape(H, W, 3)),
+            total_sq=stats.total_sq.at[0].set(ps.total_sq.reshape(H, W, 3)),
+            count=stats.count.at[0].add(float(cfg.samples_per_step)),
+        )
 
     return step
 

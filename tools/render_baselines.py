@@ -1,0 +1,92 @@
+"""Render the five BASELINE.json configs end to end and write a report.
+
+Usage: bash tools/tpu_run.sh tools/render_baselines.py /tmp/baselines.txt
+Outputs PNGs + timings to out/baselines/ and prints a JSON report line per
+config, including per-pixel RMSE of the TPU render against the same-seed CPU
+oracle-render for config 1 (the BASELINE accuracy check).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+OUT = Path("out/baselines")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_odin_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
+    from raytracer_odin_tpu.config import RenderConfig
+    from raytracer_odin_tpu.io import gltf, images, writers
+    from raytracer_odin_tpu.models import assets, build
+    from raytracer_odin_tpu.models.scene import HostTexture
+    from raytracer_odin_tpu.render import accum, output, runtime
+
+    OUT.mkdir(parents=True, exist_ok=True)
+    scene_dir = "/tmp/baseline_scenes"
+
+    configs = [
+        # (name, scene, W, H, depth, spp)
+        ("cfg1_cube", "cube", 256, 256, 2, 16),
+        ("cfg2_cornell", "cornell", 512, 512, 6, 64),
+        ("cfg3_textured", "textured", 800, 608, 8, 128),
+        ("cfg4_envmap", "envmap", 1024, 768, 8, 256),
+        ("cfg5_demo_1080p", "demo", 1920, 1080, 8, 256),
+    ]
+
+    for name, scene_name, W, H, depth, spp in configs:
+        info = assets.generate(scene_name, scene_dir)
+        host = gltf.read_gltf(info["gltf"])
+        env = None
+        if "env" in info:
+            li = images.load_image(info["env"])
+            env = HostTexture(li.data, li.is_hdr)
+        scene = build.finish_scene(host, env_map=env)
+        fov_x = host.cam.fov_x * (W / H)
+        spp_step = min(spp, 8)
+        while spp % spp_step:
+            spp_step -= 1
+        cfg = RenderConfig(
+            width=W, height=H, ray_depth=depth, samples=spp,
+            samples_per_step=spp_step, debug_features=False,
+            intersector="pallas", wavefront_pool=True,
+        )
+        t0 = time.perf_counter()
+        res = runtime.render_scene(scene, cfg, fov_x)
+        dt = time.perf_counter() - t0
+        img = output.layer_to_rgb(res.stats, 0, "mean")
+        writers.save_image(OUT / f"{name}.png", img)
+
+        report = {
+            "config": name,
+            "resolution": f"{W}x{H}",
+            "depth": depth,
+            "spp": spp,
+            "seconds": round(dt, 2),
+            "spp_per_s": round(spp / dt, 3),
+        }
+        if name == "cfg1_cube":
+            # RMSE vs the identical-algorithm CPU render at equal spp/seed
+            # (TPU-vs-CPU numerical parity: the BASELINE accuracy metric).
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                scene_cpu = jax.device_put(scene, cpu)
+                res_cpu = runtime.render_scene(scene_cpu, cfg, fov_x)
+            a = np.asarray(res.stats.total[0]) / spp
+            b = np.asarray(res_cpu.stats.total[0]) / spp
+            report["rmse_vs_cpu_same_seed"] = float(np.sqrt(((a - b) ** 2).mean()))
+        print(json.dumps(report), flush=True)
+
+
+if __name__ == "__main__":
+    main()
