@@ -98,12 +98,15 @@ def cull_clusters(o_lo, o_hi, d_lo, d_hi, clo, chi):
 
     near = jnp.max(entry_lo, axis=-1)
     far = jnp.min(exit_hi, axis=-1)
-    return (near <= far) & (far >= 0)
+    hit = (near <= far) & (far >= 0)
+    return hit, jnp.maximum(near, 0.0)
 
 
-def build_lists(hit_mask, cap: int | None = None):
+def build_lists(hit_mask, cap: int | None = None, near=None):
     """[NB, C] bool -> (counts [NB] i32, lists [NB, min(C, cap)] i32): hit
-    cluster ids packed to the front of each row (stable order).
+    cluster ids packed to the front of each row. With `near` [NB, C]
+    (bundle entry distances from cull_clusters), hit ids are ordered
+    nearest-first so the kernel's best-t early-out fires sooner.
 
     With `cap`, rows hitting more than cap clusters get count = -1 (overflow
     sentinel): the kernel then sweeps ALL clusters for that block — correct,
@@ -112,8 +115,11 @@ def build_lists(hit_mask, cap: int | None = None):
     """
     nb, c = hit_mask.shape
     ids = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[None], (nb, c))
-    # stable sort: misses pushed to the end
-    order = jnp.argsort(jnp.where(hit_mask, ids, c + ids), axis=-1)
+    if near is None:
+        order = jnp.argsort(jnp.where(hit_mask, ids, c + ids), axis=-1)
+    else:
+        key = jnp.where(hit_mask, near, jnp.float32(BIG))
+        order = jnp.argsort(key, axis=-1)
     lists = jnp.take_along_axis(ids, order, axis=-1)
     counts = jnp.sum(hit_mask, axis=-1).astype(jnp.int32)
     if cap is not None and cap < c:
@@ -150,12 +156,17 @@ def coherence_keys(o, d, alive, scene_lo, scene_hi):
         + 2 * (d[..., 1] < 0).astype(jnp.int32)
         + 4 * (d[..., 2] < 0).astype(jnp.int32)
     )
+    # 4-bit direction refinement inside the octant (tighter bundle cones)
+    ax = jnp.abs(d[..., 0])
+    ay = jnp.abs(d[..., 1])
     dq = (
-        (jnp.abs(d[..., 0]) > 0.5).astype(jnp.int32)
-        + 2 * (jnp.abs(d[..., 1]) > 0.5).astype(jnp.int32)
+        (ax > 0.35).astype(jnp.int32)
+        + 2 * (ax > 0.75).astype(jnp.int32)
+        + 4 * (ay > 0.35).astype(jnp.int32)
+        + 8 * (ay > 0.75).astype(jnp.int32)
     )
     dead = (~alive).astype(jnp.int32)
-    return (dead << 17) | (octant << 14) | (morton << 2) | dq
+    return (dead << 19) | (octant << 16) | (morton << 4) | dq
 
 
 def tile_order(h: int, w: int, th: int = 16, tw: int = 32):

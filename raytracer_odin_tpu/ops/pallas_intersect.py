@@ -37,8 +37,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LEAF = 64          # triangles per cluster
-RB = 512           # rays per block
+import os as _os
+
+# Tunables (fixed per process; benchmarks sweep them via env):
+LEAF = int(_os.environ.get("RT_TPU_LEAF", 64))  # triangles per cluster
+RB = int(_os.environ.get("RT_TPU_RB", 512))     # rays per bundle
 BIG = 3.0e38
 
 
@@ -104,6 +107,30 @@ def _finish(out_ref, best_t, best_u, best_v, best_i):
     )
 
 
+def _ray_aabb_prune(ox, oy, oz, ivx, ivy, ivz, lo0, lo1, lo2, hi0, hi1, hi2,
+                    best_t):
+    """Per-ray slab test of one cluster AABB (scalars) against the bundle
+    ((1, RB) vectors). Returns scalar: does ANY ray enter the box closer
+    than its current best hit? Gates the 64-triangle block."""
+    def axis(lo, hi, o, iv):
+        t1 = (lo - o) * iv
+        t2 = (hi - o) * iv
+        tmin = jnp.minimum(t1, t2)
+        tmax = jnp.maximum(t1, t2)
+        # 0 * inf NaN (ray on slab boundary): unconstrained axis
+        tmin = jnp.where(jnp.isnan(tmin), -BIG, tmin)
+        tmax = jnp.where(jnp.isnan(tmax), BIG, tmax)
+        return tmin, tmax
+
+    nx, xx = axis(lo0, hi0, ox, ivx)
+    ny, xy = axis(lo1, hi1, oy, ivy)
+    nz, xz = axis(lo2, hi2, oz, ivz)
+    near = jnp.maximum(jnp.maximum(nx, ny), nz)
+    far = jnp.minimum(jnp.minimum(xx, xy), xz)
+    ok = (near <= far) & (far >= 0) & (jnp.maximum(near, 0.0) < best_t)
+    return jnp.any(ok)
+
+
 def _brute_kernel(rays_ref, tris_ref, out_ref, *, n_clusters: int):
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
@@ -130,11 +157,15 @@ def _brute_kernel(rays_ref, tris_ref, out_ref, *, n_clusters: int):
     _finish(out_ref, best_t, best_u, best_v, best_i)
 
 
-def _culled_kernel(counts_ref, lists_ref, rays_ref, tris_ref, out_ref,
-                   *, n_clusters: int):
-    """counts/lists arrive via scalar prefetch (SMEM): lists_ref[b, k] is the
-    k-th cluster id for ray block b, k < counts_ref[b]. count == -1 marks
-    list overflow: sweep every cluster (correct, just unculled)."""
+def _culled_kernel(counts_ref, lists_ref, aabb_ref, rays_ref, tris_ref,
+                   out_ref, best_ref, *, n_clusters: int):
+    """counts/lists/cluster-AABBs arrive via scalar prefetch (SMEM):
+    lists_ref[b, k] is the k-th cluster id for ray block b (nearest-first),
+    k < counts_ref[b]; count == -1 marks list overflow (sweep every
+    cluster). Each cluster's AABB is slab-tested per ray against the
+    current best-t first; the 64-triangle block runs only when some ray can
+    still improve — with nearest-first ordering this is a true early-out.
+    Bests live in the `best_ref` VMEM scratch (rows t, bu, bv, idx)."""
     b = pl.program_id(0)
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
@@ -142,30 +173,50 @@ def _culled_kernel(counts_ref, lists_ref, rays_ref, tris_ref, out_ref,
     dx = rays_ref[3:4, :]
     dy = rays_ref[4:5, :]
     dz = rays_ref[5:6, :]
+    ivx = 1.0 / dx
+    ivy = 1.0 / dy
+    ivz = 1.0 / dz
 
-    init = (
-        jnp.full((1, RB), BIG, jnp.float32),
-        jnp.zeros((1, RB), jnp.float32),
-        jnp.zeros((1, RB), jnp.float32),
-        jnp.full((1, RB), -1.0, jnp.float32),
-    )
+    best_ref[0:1, :] = jnp.full((1, RB), BIG, jnp.float32)
+    best_ref[1:3, :] = jnp.zeros((2, RB), jnp.float32)
+    best_ref[3:4, :] = jnp.full((1, RB), -1.0, jnp.float32)
+    best_ref[4:8, :] = jnp.zeros((4, RB), jnp.float32)
 
     count = counts_ref[b]
     overflow = count < 0
     n = jnp.where(overflow, n_clusters, count)
 
-    def body(k, carry):
-        cid = jnp.where(overflow, k, lists_ref[b, jnp.minimum(k, lists_ref.shape[1] - 1)])
-        return _cluster_test(
-            tris_ref, cid * LEAF, ox, oy, oz, dx, dy, dz, *carry
+    def body(k, _):
+        cid = jnp.where(
+            overflow, k, lists_ref[b, jnp.minimum(k, lists_ref.shape[1] - 1)]
+        )
+        prune = _ray_aabb_prune(
+            ox, oy, oz, ivx, ivy, ivz,
+            aabb_ref[cid, 0], aabb_ref[cid, 1], aabb_ref[cid, 2],
+            aabb_ref[cid, 3], aabb_ref[cid, 4], aabb_ref[cid, 5],
+            best_ref[0:1, :],
         )
 
-    best_t, best_u, best_v, best_i = jax.lax.fori_loop(0, n, body, init)
-    _finish(out_ref, best_t, best_u, best_v, best_i)
+        @pl.when(prune)
+        def _():
+            bt, bu, bv, bi = _cluster_test(
+                tris_ref, cid * LEAF, ox, oy, oz, dx, dy, dz,
+                best_ref[0:1, :], best_ref[1:2, :], best_ref[2:3, :],
+                best_ref[3:4, :],
+            )
+            best_ref[0:1, :] = bt
+            best_ref[1:2, :] = bu
+            best_ref[2:3, :] = bv
+            best_ref[3:4, :] = bi
+
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+    out_ref[:] = best_ref[:]
 
 
-def _culled_stream_kernel(counts_ref, lists_ref, rays_ref, tris_hbm, out_ref,
-                          scratch_ref, sem_ref, *, n_clusters: int):
+def _culled_stream_kernel(counts_ref, lists_ref, aabb_ref, rays_ref, tris_hbm,
+                          out_ref, scratch_ref, sem_ref, *, n_clusters: int):
     """Streaming variant for scenes too large for VMEM residency: the
     triangle array stays in HBM; each cluster's LEAF rows are DMA'd into a
     double-buffered VMEM scratch, overlapping the copy of cluster k+1 with
@@ -313,7 +364,7 @@ def _stream_threshold() -> int:
     return int(os.environ.get("RT_TPU_STREAM_TRIS", VMEM_RESIDENT_TRIS))
 
 
-def _culled_call(counts, lists, rays, tris):
+def _culled_call(counts, lists, aabbs, rays, tris):
     npad = rays.shape[1]
     n_clusters = tris.shape[0] // LEAF
     stream = tris.shape[0] > _stream_threshold()
@@ -321,7 +372,7 @@ def _culled_call(counts, lists, rays, tris):
         memory_space=pltpu.ANY if stream else pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(npad // RB,),
         in_specs=[
             # index maps receive (grid idx, *scalar_prefetch_refs)
@@ -337,7 +388,7 @@ def _culled_call(counts, lists, rays, tris):
                 pltpu.SemaphoreType.DMA((2,)),
             ]
             if stream
-            else []
+            else [pltpu.VMEM((8, RB), jnp.float32)]
         ),
     )
     kernel = (
@@ -350,7 +401,7 @@ def _culled_call(counts, lists, rays, tris):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, npad), jnp.float32),
         interpret=_interpret(),
-    )(counts, lists, rays, tris)
+    )(counts, lists, aabbs, rays, tris)
 
 
 # Scalar-prefetch arrays live in SMEM (~1 MB); bound the per-call block
@@ -358,18 +409,20 @@ def _culled_call(counts, lists, rays, tris):
 SMEM_BUDGET_BYTES = 700_000
 
 
-def intersect_culled(scene_tris, counts, lists, o, d):
+def intersect_culled(scene_tris, counts, lists, aabbs, o, d):
     """Nearest hit testing only the per-block cluster lists (ops/culling.py).
 
-    counts: [NB] i32; lists: [NB, C] i32 (entries beyond counts ignored).
+    counts: [NB] i32; lists: [NB, C] i32 (entries beyond counts ignored);
+    aabbs: [C, 6] f32 cluster AABBs (lo, hi) for the in-kernel prune.
     """
     rays, batch_shape, n = pack_rays(o, d)
     npad = rays.shape[1]
     nb = npad // RB
     c = lists.shape[1]
-    max_blocks = max(64, SMEM_BUDGET_BYTES // (4 * (c + 1)))
+    budget = SMEM_BUDGET_BYTES - aabbs.size * 4
+    max_blocks = max(64, budget // (4 * (c + 1)))
     if nb <= max_blocks:
-        out = _culled_call(counts, lists, rays, scene_tris)
+        out = _culled_call(counts, lists, aabbs, rays, scene_tris)
     else:
         n_chunks = -(-nb // max_blocks)
         per = -(-nb // n_chunks)  # balanced chunk size
@@ -378,7 +431,7 @@ def intersect_culled(scene_tris, counts, lists, o, d):
             e = min(nb, s + per)
             pieces.append(
                 _culled_call(
-                    counts[s:e], lists[s:e],
+                    counts[s:e], lists[s:e], aabbs,
                     jax.lax.slice_in_dim(rays, s * RB, e * RB, axis=1),
                     scene_tris,
                 )

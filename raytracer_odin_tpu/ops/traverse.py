@@ -219,13 +219,17 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
         o_p = jnp.pad(o2, ((0, npad - n), (0, 0)), constant_values=BIG)
         d_p = jnp.pad(d2, ((0, npad - n), (0, 0)))
         o_lo, o_hi, d_lo, d_hi = culling.block_bounds(o_p, d_p)
-        mask = culling.cull_clusters(
+        mask, near = culling.cull_clusters(
             o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
         )
-        # Cap list length to bound SMEM; rare overflow blocks sweep all
-        # clusters inside the kernel (correct, just unculled).
-        counts, lists = culling.build_lists(mask, cap=192)
-        t, idx, bu, bv = pi.intersect_culled(scene.ptri, counts, lists, o2, d2)
+        # Nearest-first lists (kernel early-out); capped length to bound
+        # SMEM — rare overflow blocks sweep all clusters inside the kernel
+        # (correct, just unculled).
+        counts, lists = culling.build_lists(mask, cap=192, near=near)
+        aabbs = jnp.concatenate([scene.cluster_lo, scene.cluster_hi], axis=-1)
+        t, idx, bu, bv = pi.intersect_culled(
+            scene.ptri, counts, lists, aabbs, o2, d2
+        )
     else:
         t, idx, bu, bv = pi.intersect_brute(scene.ptri, o2, d2)
 

@@ -87,11 +87,10 @@ def test_cull_clusters_conservative():
     d = rng.normal(size=(n, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     o_lo, o_hi, d_lo, d_hi = culling.block_bounds(jnp.asarray(o), jnp.asarray(d))
-    mask = np.asarray(
-        culling.cull_clusters(
-            o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
-        )
-    )[0]
+    mask, _near = culling.cull_clusters(
+        o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
+    )
+    mask = np.asarray(mask)[0]
     # per-ray ground truth
     clo = np.asarray(scene.cluster_lo)
     chi = np.asarray(scene.cluster_hi)

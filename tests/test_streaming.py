@@ -35,12 +35,14 @@ def test_list_cap_overflow_is_correct():
     o_p = jnp.pad(oo, ((0, npad - n), (0, 0)), constant_values=BIG)
     d_p = jnp.pad(d, ((0, npad - n), (0, 0)))
     o_lo, o_hi, d_lo, d_hi = culling.block_bounds(o_p, d_p)
-    mask = culling.cull_clusters(
+    mask, near = culling.cull_clusters(
         o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
     )
-    counts, lists = culling.build_lists(mask, cap=2)
+    counts, lists = culling.build_lists(mask, cap=2, near=near)
     assert (np.asarray(counts) == -1).any(), "test setup should overflow"
-    t, idx, bu, bv = pi.intersect_culled(scene.ptri, counts, lists, oo, d)
+    import jax.numpy as _jnp
+    aabbs = _jnp.concatenate([scene.cluster_lo, scene.cluster_hi], axis=-1)
+    t, idx, bu, bv = pi.intersect_culled(scene.ptri, counts, lists, aabbs, oo, d)
     t = jnp.where(idx >= 0, t + RAY_EPS, BIG)
     assert np.array_equal(np.asarray(ib) >= 0, np.asarray(idx) >= 0)
     hit = np.asarray(ib) >= 0
