@@ -296,7 +296,10 @@ def uv_sphere(radius=1.0, center=(0, 0, 0), n_lat=12, n_lon=24):
         for j in range(n_lon):
             a = i * (n_lon + 1) + j
             b = a + n_lon + 1
-            indices += [a, b, a + 1, a + 1, b, b + 1]
+            # CCW from outside: geometric normals must point outward, or the
+            # renderer's inside-test (dot(ng, d) > 0) flips shading normals
+            # inward and the surface goes black.
+            indices += [a, a + 1, b, a + 1, b + 1, b]
     return (
         np.array(positions, np.float32),
         np.array(normals, np.float32),

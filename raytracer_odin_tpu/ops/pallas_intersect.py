@@ -45,6 +45,16 @@ RB = int(_os.environ.get("RT_TPU_RB", 512))     # rays per bundle
 BIG = 3.0e38
 
 
+def _rcp(x):
+    """Reciprocal: approximate VPU reciprocal + one Newton step on TPU
+    (~1e-7 relative error, much cheaper than a full divide); exact division
+    in interpreter mode where the approx primitive is unavailable."""
+    if _interpret():
+        return 1.0 / x
+    r = pl.reciprocal(x, approx=True)
+    return r * (2.0 - x * r)
+
+
 def _cluster_test(tris_ref, base, ox, oy, oz, dx, dy, dz,
                   best_t, best_u, best_v, best_i, index_base=None):
     """Test LEAF consecutive triangles (starting at row `base` of tris_ref)
@@ -67,7 +77,7 @@ def _cluster_test(tris_ref, base, ox, oy, oz, dx, dy, dz,
     pvy = dz * vx - dx * vz
     pvz = dx * vy - dy * vx
     det = ux * pvx + uy * pvy + uz * pvz
-    inv = 1.0 / det
+    inv = _rcp(det)
     tx = ox - px
     ty = oy - py
     tz = oz - pz

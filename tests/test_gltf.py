@@ -156,3 +156,20 @@ def test_matrix_node_transform(tmp_path):
     b.write(path)
     s = gltf.read_gltf(path)
     assert np.allclose(s.p[0], [3, 4, 5], atol=1e-6)
+
+
+def test_generated_meshes_wind_outward():
+    """Closed procedural meshes must have outward geometric normals, or the
+    renderer's inside-flip (raytracer.odin:485-488) inverts their shading."""
+    from raytracer_odin_tpu.models.assets import box_mesh, uv_sphere
+
+    for p, n, uv, idx in [uv_sphere(1.0, (0, 0, 0)), box_mesh((2, 2, 2), (0, 0, 0))]:
+        tri = idx.reshape(-1, 3)
+        pos = p[tri]
+        ng = np.cross(pos[:, 1] - pos[:, 0], pos[:, 2] - pos[:, 0])
+        norms = np.linalg.norm(ng, axis=-1)
+        ok = norms > 1e-12
+        ng = ng[ok] / norms[ok, None]
+        centers = pos[ok].mean(axis=1)
+        outward = (ng * centers).sum(-1)
+        assert (outward > 0).all()

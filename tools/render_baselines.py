@@ -59,7 +59,7 @@ def main():
         cfg = RenderConfig(
             width=W, height=H, ray_depth=depth, samples=spp,
             samples_per_step=spp_step, debug_features=False,
-            intersector="pallas", wavefront_pool=True,
+            intersector="pallas",
         )
         t0 = time.perf_counter()
         res = runtime.render_scene(scene, cfg, fov_x)
@@ -78,13 +78,40 @@ def main():
         if name == "cfg1_cube":
             # RMSE vs the identical-algorithm CPU render at equal spp/seed
             # (TPU-vs-CPU numerical parity: the BASELINE accuracy metric).
-            cpu = jax.devices("cpu")[0]
-            with jax.default_device(cpu):
-                scene_cpu = jax.device_put(scene, cpu)
-                res_cpu = runtime.render_scene(scene_cpu, cfg, fov_x)
-            a = np.asarray(res.stats.total[0]) / spp
-            b = np.asarray(res_cpu.stats.total[0]) / spp
-            report["rmse_vs_cpu_same_seed"] = float(np.sqrt(((a - b) ** 2).mean()))
+            # Run in a subprocess: the CPU backend needs interpret-mode
+            # Pallas, selected by process-level backend detection.
+            import os
+            import subprocess
+
+            helper = (
+                "import numpy as np, jax; "
+                "jax.config.update('jax_platforms','cpu'); "
+                "from raytracer_odin_tpu.config import RenderConfig; "
+                "from raytracer_odin_tpu.io import gltf; "
+                "from raytracer_odin_tpu.models import assets, build; "
+                "from raytracer_odin_tpu.render import runtime; "
+                f"info = assets.generate('cube', '{scene_dir}'); "
+                "host = gltf.read_gltf(info['gltf']); "
+                "scene = build.finish_scene(host); "
+                f"cfg = RenderConfig(width={W}, height={H}, ray_depth={depth}, "
+                f"samples={spp}, samples_per_step={spp_step}, "
+                "debug_features=False); "
+                f"res = runtime.render_scene(scene, cfg, {fov_x!r}); "
+                "np.save('/tmp/cfg1_cpu.npy', np.asarray(res.stats.total[0]))"
+            )
+            env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
+            r = subprocess.run(
+                [sys.executable, "-c", helper], env=env,
+                capture_output=True, text=True, timeout=1200,
+            )
+            if r.returncode == 0:
+                a = np.asarray(res.stats.total[0]) / spp
+                b = np.load("/tmp/cfg1_cpu.npy") / spp
+                report["rmse_vs_cpu_same_seed"] = float(
+                    np.sqrt(((a - b) ** 2).mean())
+                )
+            else:
+                report["rmse_vs_cpu_same_seed"] = "cpu render failed"
         print(json.dumps(report), flush=True)
 
 
