@@ -196,9 +196,18 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
                 jnp.asarray([1.0, 0.0, 0.0], d2.dtype),
             )
         keys = culling.coherence_keys(o2, d2, alive_f, scene_lo, scene_hi)
-        perm = jnp.argsort(keys)
-        o2 = o2[perm]
-        d2 = d2[perm]
+        # Single variadic sort carrying the ray payload + original position:
+        # TPU scatters serialize (measured 83 ms for the 2M unsort scatter),
+        # while sorts are ~3 ms — so both directions ride lax.sort.
+        n_rays = o2.shape[0]
+        iota = jnp.arange(n_rays, dtype=jnp.int32)
+        (_, ox, oy, oz, dx, dy, dz, perm) = jax.lax.sort(
+            (keys, o2[:, 0], o2[:, 1], o2[:, 2],
+             d2[:, 0], d2[:, 1], d2[:, 2], iota),
+            num_keys=1,
+        )
+        o2 = jnp.stack([ox, oy, oz], axis=-1)
+        d2 = jnp.stack([dx, dy, dz], axis=-1)
         tiled = False
     else:
         tiled = (
@@ -234,13 +243,15 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
         t, idx, bu, bv = pi.intersect_brute(scene.ptri, o2, d2)
 
     if perm is not None:
-        # scatter back to original lane order
-        packed = jnp.stack([t, bu, bv, idx.astype(jnp.float32)], axis=-1)
-        unsorted = jnp.zeros_like(packed).at[perm].set(packed)
-        t = unsorted[:, 0].reshape(batch_shape)
-        bu = unsorted[:, 1].reshape(batch_shape)
-        bv = unsorted[:, 2].reshape(batch_shape)
-        idx = unsorted[:, 3].astype(jnp.int32).reshape(batch_shape)
+        # restore original lane order: sort by the carried source positions
+        # (perm is a permutation of iota, so this is an exact inverse)
+        (_, t, bu, bv, idx) = jax.lax.sort(
+            (perm, t, bu, bv, idx), num_keys=1
+        )
+        t = t.reshape(batch_shape)
+        bu = bu.reshape(batch_shape)
+        bv = bv.reshape(batch_shape)
+        idx = idx.reshape(batch_shape)
     elif tiled:
         h, w = batch_shape
         t = culling.from_tiles(t[:, None], h, w)[..., 0]
