@@ -117,7 +117,10 @@ def intersect_brute(sc: OracleScene, o, d):
 
 
 def tex_sample(sc: OracleScene, tid, uv, srgb=False, default=(1, 1, 1, 1)):
-    """Bilinear with floor/ceil + wrap + pre-lerp sRGB (textures.odin:79-135)."""
+    """Bilinear with floor + wrap + pre-lerp sRGB (textures.odin:79-135).
+    The atlas stores quad-packed rows [p00, p10, p01, p11] (see
+    ops/texture.build_atlas); the math below is still an independent
+    implementation of the reference's floor/ceil bilinear semantics."""
     tid = np.asarray(tid)
     out = np.tile(np.asarray(default, np.float32), tid.shape + (1,))
     mask = tid >= 0
@@ -130,22 +133,19 @@ def tex_sample(sc: OracleScene, tid, uv, srgb=False, default=(1, 1, 1, 1)):
     dims = np.stack([w, h], axis=-1)
     pix = uv * dims
     lo = np.floor(pix)
-    hi = np.ceil(pix)
     frac = (pix - lo).astype(np.float32)
     c00 = np.mod(lo.astype(np.int64), dims)
-    c11 = np.mod(hi.astype(np.int64), dims)
 
-    def fetch(cx, cy):
-        px = sc.tex_texels[off + cy * w + cx].astype(np.float32)
-        if srgb:
+    quad = sc.tex_texels[off + c00[..., 1] * w + c00[..., 0]].astype(np.float32)
+    p00, p10, p01, p11 = (
+        quad[..., 0:4], quad[..., 4:8], quad[..., 8:12], quad[..., 12:16]
+    )
+    if srgb:
+        def dec(px):
             px = px.copy()
             px[..., :3] = np.power(np.maximum(px[..., :3], 0), 2.2)
-        return px
-
-    p00 = fetch(c00[..., 0], c00[..., 1])
-    p01 = fetch(c00[..., 0], c11[..., 1])
-    p10 = fetch(c11[..., 0], c00[..., 1])
-    p11 = fetch(c11[..., 0], c11[..., 1])
+            return px
+        p00, p10, p01, p11 = dec(p00), dec(p10), dec(p01), dec(p11)
     ty = frac[..., 1:2]
     tx = frac[..., 0:1]
     val = (p00 * (1 - ty) + p01 * ty) * (1 - tx) + (p10 * (1 - ty) + p11 * ty) * tx
