@@ -113,3 +113,13 @@ def test_env_map_flag(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert out.exists()
+
+
+def test_pool_flag(cube_gltf, tmp_path):
+    out = tmp_path / "pool.png"
+    r = run_cli(
+        cube_gltf, str(out), "--width", "16", "--height", "16",
+        "--ray-depth", "2", "--num-samples", "2", "--pool", "--quiet",
+    )
+    assert r.returncode == 0, r.stderr
+    assert out.exists()
