@@ -4,9 +4,9 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": "Mrays/s",
 "vs_baseline": N} where vs_baseline is value / 200 (the BASELINE.json north
 star: >= 200 Mrays/sec/chip at 1080p on the demo scene).
 
-Rays are counted as *traced path segments*: W * H * spp * E[path length],
-with the expected path length measured once (and cached on disk) from the
-integrator's bounce counter — dead-lane slots are not credited.
+Rays are counted as *traced path segments*, measured exactly by the
+integrator's live-lane counter — dead-lane slots are not credited. The CLI
+throughput line uses the same accounting.
 
 Robustness: the tunneled TPU occasionally wedges on back-to-back launches
 (UNAVAILABLE device errors); the measurement runs in a child process and the
@@ -17,21 +17,17 @@ benchmark.
 from __future__ import annotations
 
 import json
-import os
 import subprocess
 import sys
 import time
-from pathlib import Path
 
 W, H, DEPTH = 1920, 1080, 8
 SCENE_DIR = "/tmp/bench_scenes"
-PROBE_CACHE = Path(__file__).parent / ".jax_cache" / "bench_probe.json"
 
 
 def _measure() -> None:
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from raytracer_odin_tpu.utils import compile_cache
 
@@ -40,7 +36,6 @@ def _measure() -> None:
     from raytracer_odin_tpu.config import RenderConfig
     from raytracer_odin_tpu.io import gltf
     from raytracer_odin_tpu.models import assets, build
-    from raytracer_odin_tpu.ops.integrator import TraceOptions
     from raytracer_odin_tpu.render import accum, runtime
 
     info = assets.generate("demo", SCENE_DIR)
@@ -49,41 +44,25 @@ def _measure() -> None:
     fov_x = host.cam.fov_x * (W / H)
     key = jax.random.PRNGKey(0)
 
-    # Mean path length: measured once, cached (the demo scene is generated
-    # deterministically, so the value is stable).
-    probe_key = f"demo-{DEPTH}"
-    cached = {}
-    if PROBE_CACHE.exists():
-        cached = json.loads(PROBE_CACHE.read_text())
-    if probe_key in cached:
-        mean_len = cached[probe_key]
-    else:
-        opts = TraceOptions(depth=DEPTH, intersector="pallas", want_aux=True)
-        _, aux = jax.jit(
-            lambda s, k: runtime.sample_pass(s, k, fov_x, 128, 128, opts)
-        )(scene, key)
-        mean_len = float(np.asarray(aux["bounces"], np.float64).mean())
-        cached[probe_key] = mean_len
-        PROBE_CACHE.parent.mkdir(parents=True, exist_ok=True)
-        PROBE_CACHE.write_text(json.dumps(cached))
-
     cfg = RenderConfig(
         width=W, height=H, ray_depth=DEPTH, samples=1 << 30,
         samples_per_step=1, debug_features=False, intersector="pallas",
     )
     step = runtime.make_render_step(cfg, fov_x)
 
-    stats = step(scene, accum.init_stats(1, H, W), key, jnp.int32(0))
+    stats, _ = step(scene, accum.init_stats(1, H, W), key, jnp.int32(0))
     jax.block_until_ready(stats.count)  # warmup / compile
     n_steps = 4
+    rays_dev = None  # accumulate on device; don't sync inside the timed loop
     t0 = time.perf_counter()
     for i in range(n_steps):
-        stats = step(scene, stats, key, jnp.int32(1 + i))
+        stats, step_rays = step(scene, stats, key, jnp.int32(1 + i))
+        rays_dev = step_rays if rays_dev is None else rays_dev + step_rays
     jax.block_until_ready(stats.count)
     dt = time.perf_counter() - t0
+    rays = int(rays_dev)  # measured live path segments
 
     spp = n_steps * cfg.samples_per_step
-    rays = W * H * spp * mean_len
     mrays = rays / dt / 1e6
 
     print(json.dumps({
@@ -92,7 +71,7 @@ def _measure() -> None:
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 200.0, 4),
         "detail": {
-            "mean_path_length": round(mean_len, 3),
+            "mean_path_length": round(rays / (W * H * spp), 3),
             "seconds_per_sample": round(dt / spp, 3),
             "depth": DEPTH,
             "resolution": f"{W}x{H}",

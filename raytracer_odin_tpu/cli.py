@@ -205,8 +205,6 @@ def main(argv=None) -> int:
         sharded = pmesh.make_sharded_render_step(cfg, fov_x, mesh, scene)
         step_fn = sharded
         log(f"Mesh: {n_tile} tile x {n_spp_dev} spp devices")
-        if cfg.debug_features:
-            log("note: AOV layers are accumulated only in single-device mode")
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -230,8 +228,11 @@ def main(argv=None) -> int:
         )
     interrupt.uninstall()
     if not args.quiet and res.trial_seconds:
+        # Measured path segments (same accounting as bench.py), not
+        # depth * pixels.
         mrays = res.rays_cast / max(sum(res.trial_seconds), 1e-9) / 1e6
-        print(f"Throughput (depth-bound): {mrays:.2f} Mrays/s")
+        print(f"Throughput: {mrays:.2f} Mrays/s "
+              f"({res.rays_cast / 1e6:.1f}M rays cast)")
 
     if args.checkpoint:
         checkpoint.save(args.checkpoint, res.stats, res.samples_done)

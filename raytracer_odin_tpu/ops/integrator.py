@@ -204,7 +204,9 @@ def trace(scene, o, d, skey, opts: TraceOptions, stream_ids=None):
       stream_ids: [...] int32 unique per-lane stream ids (e.g. the global
         pixel index). Defaults to the flattened lane position.
 
-    Returns (radiance [..., 3], aux dict or {}).
+    Returns (radiance [..., 3], aux dict). aux always carries "rays_cast"
+    (int32 scalar: live path segments actually cast); the AOV entries are
+    present only when opts.want_aux.
     """
     batch_shape = o.shape[:-1]
     if stream_ids is None:
@@ -216,7 +218,11 @@ def trace(scene, o, d, skey, opts: TraceOptions, stream_ids=None):
     env_tex = scene.env_tex
 
     def bounce(state, b, sort=False):
-        o, d, throughput, radiance, alive, aux = state
+        o, d, throughput, radiance, alive, rays, aux = state
+
+        # Measured ray accounting: one path segment per live lane per cast
+        # (dead lanes ride the kernels masked but are not credited).
+        rays = rays + jnp.sum(alive.astype(jnp.int32))
 
         t, tri_idx, bu, bv = traverse.cast_rays(
             scene, o, d,
@@ -276,7 +282,7 @@ def trace(scene, o, d, skey, opts: TraceOptions, stream_ids=None):
         alive = cont
         o = m["pos"]
         d = new_d
-        return (o, d, throughput, radiance, alive, aux), None
+        return (o, d, throughput, radiance, alive, rays, aux), None
 
     aux0 = {}
     if opts.want_aux:
@@ -297,19 +303,20 @@ def trace(scene, o, d, skey, opts: TraceOptions, stream_ids=None):
         jnp.ones(batch_shape + (3,), jnp.float32),
         jnp.zeros(batch_shape + (3,), jnp.float32),
         jnp.ones(batch_shape, bool),
+        jnp.zeros((), jnp.int32),
         aux0,
     )
     if opts.depth <= 0:
-        return init[3], aux0
+        return init[3], dict(aux0, rays_cast=init[5])
     # First bounce: camera rays are already tile-coherent; later bounces are
     # re-bucketed (sort_rays) since scattered directions destroy coherence.
     state, _ = bounce(init, 0, sort=False)
     if opts.depth > 1:
-        (o, d, throughput, radiance, alive, aux), _ = jax.lax.scan(
+        (o, d, throughput, radiance, alive, rays, aux), _ = jax.lax.scan(
             lambda s, b: bounce(s, b, sort=opts.sort_rays),
             state,
             jnp.arange(1, opts.depth),
         )
     else:
-        (o, d, throughput, radiance, alive, aux) = state
-    return radiance, aux
+        (o, d, throughput, radiance, alive, rays, aux) = state
+    return radiance, dict(aux, rays_cast=rays)

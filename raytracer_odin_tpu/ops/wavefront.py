@@ -84,8 +84,9 @@ def render_pool_step(scene, pstats: PoolStats, base_key, sample_start,
                      *, width: int, height: int, fov_x: float, samples: int,
                      pool_size: int, opts: TraceOptions):
     """Render `samples` spp for the full image through a pool of
-    `pool_size` lanes; returns updated PoolStats. `sample_start` is the
-    global spp offset (traced)."""
+    `pool_size` lanes; returns (updated PoolStats, rays_cast int32 scalar —
+    live path segments, same accounting as the batched trace).
+    `sample_start` is the global spp offset (traced)."""
     n_pixels = width * height
     total_items = samples * n_pixels
     P = pool_size
@@ -99,7 +100,7 @@ def render_pool_step(scene, pstats: PoolStats, base_key, sample_start,
 
     def body(state):
         (next_item, alive, lane_bounce, lane_sample, lane_pixel,
-         o, d, throughput, radiance, pstats) = state
+         o, d, throughput, radiance, rays, pstats) = state
 
         # ---- refill: dead lanes pull queue items -------------------------
         dead = ~alive
@@ -132,6 +133,7 @@ def render_pool_step(scene, pstats: PoolStats, base_key, sample_start,
         next_item = next_item + jnp.sum(take.astype(jnp.int32))
 
         # ---- cast + shade -------------------------------------------------
+        rays = rays + jnp.sum(alive.astype(jnp.int32))
         t, tri_idx, bu, bv = traverse.cast_rays(
             scene, o, d,
             intersector=opts.intersector,
@@ -187,7 +189,7 @@ def render_pool_step(scene, pstats: PoolStats, base_key, sample_start,
         pstats = PoolStats(first=first, last=last, total=total, total_sq=total_sq)
 
         return (next_item, alive, lane_bounce, lane_sample, lane_pixel,
-                o, d, throughput, radiance, pstats)
+                o, d, throughput, radiance, rays, pstats)
 
     init = (
         jnp.int32(0),
@@ -199,7 +201,8 @@ def render_pool_step(scene, pstats: PoolStats, base_key, sample_start,
         jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (P, 1)),
         jnp.ones((P, 3), jnp.float32),
         jnp.zeros((P, 3), jnp.float32),
+        jnp.zeros((), jnp.int32),
         pstats,
     )
     state = jax.lax.while_loop(cond, body, init)
-    return state[-1]
+    return state[-1], state[-2]

@@ -68,7 +68,10 @@ def replicate_scene(scene, mesh: Mesh):
 def make_sharded_render_step(cfg: RenderConfig, fov_x: float, mesh: Mesh,
                              scene) -> Callable:
     """Jitted multi-chip step: (scene, stats, base_key, sample_start) ->
-    stats, computing cfg.samples_per_step *global* samples per pixel.
+    (stats, rays), computing cfg.samples_per_step *global* samples per
+    pixel. All cfg.num_layers layers are accumulated (AOVs included when
+    cfg.debug_features); `rays` is the replicated global int32 count of
+    path segments cast, same accounting as the single-chip step.
 
     cfg.samples_per_step must be divisible by the spp axis size; cfg.height
     by the tile axis size.
@@ -84,6 +87,7 @@ def make_sharded_render_step(cfg: RenderConfig, fov_x: float, mesh: Mesh,
         )
     h_local = H // n_tile
     s_local = cfg.samples_per_step // n_spp
+    n_layers = cfg.num_layers
 
     opts = TraceOptions(
         depth=cfg.ray_depth,
@@ -91,59 +95,63 @@ def make_sharded_render_step(cfg: RenderConfig, fov_x: float, mesh: Mesh,
         brute_chunk=cfg.brute_chunk,
         brute_max_tris=cfg.brute_max_tris,
         light_chunk=cfg.light_chunk,
-        want_aux=False,
+        want_aux=cfg.debug_features,
     )
 
     from jax.experimental.shard_map import shard_map
 
+    from raytracer_odin_tpu.render.runtime import sample_layer_values
+
     def local_block(scene, base_key, sample_start):
         """Runs per device: render s_local samples of the local row block.
-        Returns local-delta stats fields (beauty layer only)."""
+        Returns local-delta stats fields [n_layers, h_local, W, 3] + rays."""
         tile_idx = jax.lax.axis_index("tile")
         spp_idx = jax.lax.axis_index("spp")
         row_offset = tile_idx * h_local
 
         def one(carry, k):
-            total, total_sq, first, last = carry
+            total, total_sq, first, last, rays = carry
             sample_idx = sample_start + spp_idx * s_local + k
             skey = jax.random.fold_in(base_key, sample_idx)
-            radiance, _ = sample_pass(
+            radiance, aux = sample_pass(
                 scene, skey, fov_x, W, H, opts,
                 row_offset=row_offset, n_rows=h_local,
             )
-            first = jnp.where((k == 0), radiance, first)
-            return (total + radiance, total_sq + radiance * radiance,
-                    first, radiance), None
+            vals = sample_layer_values(radiance, aux, cfg.debug_features)
+            first = jnp.where((k == 0), vals, first)
+            return (total + vals, total_sq + vals * vals,
+                    first, vals, rays + aux["rays_cast"]), None
 
-        z = jnp.zeros((h_local, W, 3), jnp.float32)
-        (total, total_sq, first, last), _ = jax.lax.scan(
-            one, (z, z, z, z), jnp.arange(s_local)
+        z = jnp.zeros((n_layers, h_local, W, 3), jnp.float32)
+        (total, total_sq, first, last, rays), _ = jax.lax.scan(
+            one, (z, z, z, z, jnp.zeros((), jnp.int32)), jnp.arange(s_local)
         )
-        return total, total_sq, first, last
+        return total, total_sq, first, last, rays
 
     def step_impl(scene, stats, base_key, sample_start):
-        total, total_sq, first, last = local_block(scene, base_key, sample_start)
-        n_spp_idx = jax.lax.axis_index("spp")
+        total, total_sq, first, last, rays = local_block(
+            scene, base_key, sample_start
+        )
+        spp_idx = jax.lax.axis_index("spp")
         # Additive merges over the spp axis.
         total = jax.lax.psum(total, "spp")
         total_sq = jax.lax.psum(total_sq, "spp")
         # first: globally-first sample lives on spp device 0;
         # last: globally-last on device n_spp - 1.
-        first = jax.lax.psum(jnp.where(n_spp_idx == 0, first, 0.0), "spp")
-        last = jax.lax.psum(jnp.where(n_spp_idx == n_spp - 1, last, 0.0), "spp")
+        first = jax.lax.psum(jnp.where(spp_idx == 0, first, 0.0), "spp")
+        last = jax.lax.psum(jnp.where(spp_idx == n_spp - 1, last, 0.0), "spp")
+        # Global ray count, replicated on every device.
+        rays = jax.lax.psum(rays, ("tile", "spp"))
 
-        old_count = stats.count[0]
-        is_first = (old_count == 0)[..., None]
+        is_first = (stats.count == 0)[..., None]
         new = accum.Stats(
-            first=stats.first.at[0].set(
-                jnp.where(is_first, first, stats.first[0])
-            ),
-            last=stats.last.at[0].set(last),
-            total=stats.total.at[0].add(total),
-            total_sq=stats.total_sq.at[0].add(total_sq),
-            count=stats.count.at[0].add(float(cfg.samples_per_step)),
+            first=jnp.where(is_first, first, stats.first),
+            last=last,
+            total=stats.total + total,
+            total_sq=stats.total_sq + total_sq,
+            count=stats.count + float(cfg.samples_per_step),
         )
-        return new
+        return new, rays
 
     stats_spec = accum.Stats(
         first=P(None, "tile", None, None),
@@ -157,7 +165,7 @@ def make_sharded_render_step(cfg: RenderConfig, fov_x: float, mesh: Mesh,
         step_impl,
         mesh=mesh,
         in_specs=(scene_spec, stats_spec, P(), P()),
-        out_specs=stats_spec,
+        out_specs=(stats_spec, P()),
         check_rep=False,
     )
 

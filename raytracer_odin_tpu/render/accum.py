@@ -58,6 +58,23 @@ def init_stats(num_layers: int, height: int, width: int) -> Stats:
     )
 
 
+def update_layers(stats: Stats, vals) -> Stats:
+    """Record one sample per pixel on layers [0, L) at once (rc_set_pixel
+    semantics per layer, main.odin:89-102). vals: [L, H, W, 3] with
+    L <= stats layer count; trailing layers are untouched."""
+    L = vals.shape[0]
+    is_first = (stats.count[:L] == 0)[..., None]
+    return Stats(
+        first=stats.first.at[:L].set(
+            jnp.where(is_first, vals, stats.first[:L])
+        ),
+        last=stats.last.at[:L].set(vals),
+        total=stats.total.at[:L].add(vals),
+        total_sq=stats.total_sq.at[:L].add(vals * vals),
+        count=stats.count.at[:L].add(1.0),
+    )
+
+
 def update_layer(stats: Stats, layer: int, color) -> Stats:
     """Record one sample per pixel on `layer` (rc_set_pixel semantics,
     main.odin:89-102). color: [H, W, 3]."""

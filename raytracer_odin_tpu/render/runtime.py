@@ -120,10 +120,37 @@ def sample_pass(scene, skey, fov_x: float, width: int, height: int,
 # Jitted render step.
 # ---------------------------------------------------------------------------
 
+def sample_layer_values(radiance, aux, debug: bool):
+    """Stack one sample's per-layer values: [L_act, ..., 3] with L_act = 1
+    (beauty only) or 10 (all AOV layers, config.LAYER_* order)."""
+    if not debug:
+        return radiance[None]
+    c = config_mod
+
+    def rep(x):
+        return jnp.repeat(x[..., None], 3, axis=-1)
+
+    vals = [None] * 10
+    vals[c.LAYER_BEAUTY] = radiance
+    vals[c.LAYER_NORMAL] = aux["first_normal"] * 0.5 + 0.5
+    vals[c.LAYER_DEPTH] = rep(aux["first_t"])
+    vals[c.LAYER_ALBEDO] = aux["albedo"]
+    vals[c.LAYER_EMISSION] = aux["first_emission"]
+    vals[c.LAYER_UV] = jnp.concatenate(
+        [aux["first_uv"], jnp.zeros_like(aux["first_uv"][..., :1])], axis=-1
+    )
+    vals[c.LAYER_BOUNCES] = rep(aux["bounces"].astype(jnp.float32))
+    vals[c.LAYER_ANOMALY] = rep((norm_l1(radiance) > 1e3).astype(jnp.float32))
+    vals[c.LAYER_PDF] = rep(aux["first_pdf"])
+    vals[c.LAYER_MISS] = rep(aux["prim_miss"].astype(jnp.float32))
+    return jnp.stack(vals, axis=0)
+
+
 def make_render_step(cfg: RenderConfig, fov_x: float) -> Callable:
     """Build the jitted step: (scene, stats, base_key, sample_start) ->
-    stats. Computes cfg.samples_per_step full-image samples sequentially
-    (preserving first/last ordering) and folds them into stats."""
+    (stats, rays). Computes cfg.samples_per_step full-image samples
+    sequentially (preserving first/last ordering) and folds them into stats;
+    `rays` is the int32 count of path segments actually cast."""
     if cfg.wavefront_pool:
         return make_pool_render_step(cfg, fov_x)
     opts = TraceOptions(
@@ -137,46 +164,21 @@ def make_render_step(cfg: RenderConfig, fov_x: float) -> Callable:
     H, W = cfg.height, cfg.width
 
     def one_sample(carry, sample_idx):
-        scene, stats, base_key = carry
+        scene, stats, rays, base_key = carry
         skey = jax.random.fold_in(base_key, sample_idx)
         radiance, aux = sample_pass(scene, skey, fov_x, W, H, opts)
-
-        stats = accum.update_layer(stats, config_mod.LAYER_BEAUTY, radiance)
-        if cfg.debug_features:
-            c = config_mod
-            stats = accum.update_layer(
-                stats, c.LAYER_NORMAL, aux["first_normal"] * 0.5 + 0.5
-            )
-            t3 = jnp.repeat(aux["first_t"][..., None], 3, axis=-1)
-            stats = accum.update_layer(stats, c.LAYER_DEPTH, t3)
-            stats = accum.update_layer(stats, c.LAYER_ALBEDO, aux["albedo"])
-            stats = accum.update_layer(stats, c.LAYER_EMISSION, aux["first_emission"])
-            uv3 = jnp.concatenate(
-                [aux["first_uv"], jnp.zeros_like(aux["first_uv"][..., :1])], axis=-1
-            )
-            stats = accum.update_layer(stats, c.LAYER_UV, uv3)
-            b3 = jnp.repeat(aux["bounces"][..., None].astype(jnp.float32), 3, axis=-1)
-            stats = accum.update_layer(stats, c.LAYER_BOUNCES, b3)
-            anomaly = (norm_l1(radiance) > 1e3).astype(jnp.float32)
-            stats = accum.update_layer(
-                stats, c.LAYER_ANOMALY, jnp.repeat(anomaly[..., None], 3, axis=-1)
-            )
-            p3 = jnp.repeat(aux["first_pdf"][..., None], 3, axis=-1)
-            stats = accum.update_layer(stats, c.LAYER_PDF, p3)
-            m3 = jnp.repeat(
-                aux["prim_miss"][..., None].astype(jnp.float32), 3, axis=-1
-            )
-            stats = accum.update_layer(stats, c.LAYER_MISS, m3)
-        return (scene, stats, base_key), None
+        vals = sample_layer_values(radiance, aux, cfg.debug_features)
+        stats = accum.update_layers(stats, vals)
+        return (scene, stats, rays + aux["rays_cast"], base_key), None
 
     @partial(jax.jit, donate_argnums=(1,))
     def step(scene, stats, base_key, sample_start):
-        (_, stats, _), _ = jax.lax.scan(
+        (_, stats, rays, _), _ = jax.lax.scan(
             one_sample,
-            (scene, stats, base_key),
+            (scene, stats, jnp.zeros((), jnp.int32), base_key),
             sample_start + jnp.arange(cfg.samples_per_step),
         )
-        return stats
+        return stats, rays
 
     return step
 
@@ -212,7 +214,7 @@ def make_pool_render_step(cfg: RenderConfig, fov_x: float) -> Callable:
             total=stats.total[0].reshape(n, 3),
             total_sq=stats.total_sq[0].reshape(n, 3),
         )
-        ps = wavefront.render_pool_step(
+        ps, rays = wavefront.render_pool_step(
             scene, ps, base_key, sample_start,
             width=W, height=H, fov_x=fov_x,
             samples=cfg.samples_per_step, pool_size=pool, opts=opts,
@@ -223,7 +225,7 @@ def make_pool_render_step(cfg: RenderConfig, fov_x: float) -> Callable:
             total=stats.total.at[0].set(ps.total.reshape(H, W, 3)),
             total_sq=stats.total_sq.at[0].set(ps.total_sq.reshape(H, W, 3)),
             count=stats.count.at[0].add(float(cfg.samples_per_step)),
-        )
+        ), rays
 
     return step
 
@@ -237,6 +239,8 @@ class RenderResult:
     stats: accum.Stats
     samples_done: int
     trial_seconds: list
+    # Measured path segments actually cast, summed over all trials (same
+    # accounting as bench.py: live lanes only, not depth * pixels).
     rays_cast: int = 0
 
 
@@ -260,6 +264,7 @@ def render_scene(
     timings = []
     result_stats = None
     samples_done = 0
+    rays_total = None  # device-side accumulator; read once at the end
 
     target = cfg.samples if not cfg.continuous else None
     for trial in range(trials):
@@ -274,8 +279,14 @@ def render_scene(
         while target is None or samples_done < target:
             if interrupt:
                 break
-            stats = step(
+            stats, step_rays = step(
                 scene, stats, base_key, jnp.int32(samples_done)
+            )
+            # float32 to avoid int32 overflow over long continuous renders;
+            # stays on device so the loop never syncs.
+            step_rays = step_rays.astype(jnp.float32)
+            rays_total = (
+                step_rays if rays_total is None else rays_total + step_rays
             )
             samples_done += cfg.samples_per_step
             if on_step is not None:
@@ -286,11 +297,13 @@ def render_scene(
         if verbose:
             print(f"Trial {trial} >>> Rendered in {elapsed*1000:.2f}ms")
         result_stats = stats
+        if interrupt:
+            break
 
     if verbose and trials > 1:
         print_perf_summary(timings)
 
-    rays = samples_done * cfg.width * cfg.height * cfg.ray_depth
+    rays = 0 if rays_total is None else int(np.asarray(rays_total))
     return RenderResult(
         stats=result_stats,
         samples_done=samples_done,

@@ -1,1 +1,1 @@
-from raytracer_odin_tpu.utils import math3d, rng  # noqa: F401
+from raytracer_odin_tpu.utils import math3d  # noqa: F401

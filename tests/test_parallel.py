@@ -24,12 +24,18 @@ def cfg16(**kw):
 def run_mesh(scene, cfg, fov_x, n_tile, n_spp, steps=1):
     mesh = pmesh.make_mesh(n_tile=n_tile, n_spp=n_spp)
     scene_r = pmesh.replicate_scene(scene, mesh)
-    stats = pmesh.shard_stats(accum.init_stats(1, cfg.height, cfg.width), mesh)
+    stats = pmesh.shard_stats(
+        accum.init_stats(cfg.num_layers, cfg.height, cfg.width), mesh
+    )
     step = pmesh.make_sharded_render_step(cfg, fov_x, mesh, scene_r)
     key = jax.random.PRNGKey(cfg.seed)
+    rays = 0
     for i in range(steps):
-        stats = step(scene_r, stats, key, jnp.int32(i * cfg.samples_per_step))
-    return stats
+        stats, step_rays = step(
+            scene_r, stats, key, jnp.int32(i * cfg.samples_per_step)
+        )
+        rays += int(step_rays)
+    return stats, rays
 
 
 def test_sharded_matches_single_device(cube_scene):
@@ -37,7 +43,8 @@ def test_sharded_matches_single_device(cube_scene):
     cfg = cfg16()
     single = runtime.render_scene(scene, cfg, host.cam.fov_x)
     for n_tile, n_spp in [(8, 1), (4, 2), (2, 4), (1, 8), (2, 2)]:
-        stats = run_mesh(scene, cfg, host.cam.fov_x, n_tile, n_spp)
+        stats, rays = run_mesh(scene, cfg, host.cam.fov_x, n_tile, n_spp)
+        assert rays == single.rays_cast, (n_tile, n_spp)
         assert np.allclose(
             np.asarray(single.stats.total[0]), np.asarray(stats.total[0]),
             rtol=1e-4, atol=1e-5,
@@ -57,7 +64,7 @@ def test_sharded_multiple_steps(cube_scene):
     host, scene = cube_scene
     cfg = cfg16(samples=8, samples_per_step=4)
     single = runtime.render_scene(scene, cfg, host.cam.fov_x)
-    stats = run_mesh(scene, cfg, host.cam.fov_x, 4, 2, steps=2)
+    stats, _ = run_mesh(scene, cfg, host.cam.fov_x, 4, 2, steps=2)
     assert np.allclose(np.asarray(stats.count[0]), 8)
     assert np.allclose(
         np.asarray(single.stats.total[0]), np.asarray(stats.total[0]),
@@ -87,6 +94,21 @@ def test_output_sharding_layout(cube_scene):
     scene_r = pmesh.replicate_scene(scene, mesh)
     stats = pmesh.shard_stats(accum.init_stats(1, 16, 16), mesh)
     step = pmesh.make_sharded_render_step(cfg, host.cam.fov_x, mesh, scene_r)
-    out = step(scene_r, stats, jax.random.PRNGKey(0), jnp.int32(0))
+    out, _ = step(scene_r, stats, jax.random.PRNGKey(0), jnp.int32(0))
     shard_shapes = {s.data.shape for s in out.total.addressable_shards}
     assert shard_shapes == {(1, 2, 16, 3)}  # 16 rows / 8 devices
+
+
+def test_sharded_aov_layers(cube_scene):
+    """AOV layers accumulate identically on the mesh (VERDICT weak #8)."""
+    host, scene = cube_scene
+    cfg = cfg16(debug_features=True, samples=4, samples_per_step=4)
+    single = runtime.render_scene(scene, cfg, host.cam.fov_x)
+    stats, rays = run_mesh(scene, cfg, host.cam.fov_x, 4, 2)
+    assert rays == single.rays_cast
+    for field in ("total", "first", "last", "total_sq"):
+        a = np.asarray(getattr(single.stats, field))
+        b = np.asarray(getattr(stats, field))
+        assert a.shape == b.shape == (10, 16, 16, 3), field
+        assert np.allclose(a, b, rtol=1e-4, atol=1e-5), field
+    assert np.allclose(np.asarray(stats.count), 4.0)
