@@ -65,6 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write periodic snapshot to this file (with --debug)")
     p.add_argument("--preview-every", type=float, default=2.0,
                    help="Snapshot period in seconds")
+    p.add_argument("--converge-se", type=float, default=0.0,
+                   help="With --continious: stop when the mean per-pixel "
+                        "standard error of the beauty mean drops below this")
     p.add_argument("--checkpoint", default="",
                    help="Checkpoint file; saved periodically and on exit")
     p.add_argument("--resume", action="store_true",
@@ -193,18 +196,29 @@ def main(argv=None) -> int:
         hooks.append(ckpt_hook)
 
     def on_step(stats, samples_done):
+        stats = accum.crop(stats, height, width)
         for h in hooks:
             h(stats, samples_done)
 
     trials = args.times if args.times > 0 else 1
 
     step_fn = None
+    make_stats = None
     if use_mesh:
         mesh = pmesh.make_mesh(n_tile=n_tile, n_spp=n_spp_dev)
         scene = pmesh.replicate_scene(scene, mesh)
         sharded = pmesh.make_sharded_render_step(cfg, fov_x, mesh, scene)
         step_fn = sharded
-        log(f"Mesh: {n_tile} tile x {n_spp_dev} spp devices")
+        # Rows are padded to the tile axis internally; the user's resolution
+        # is never changed (crop at every readout below).
+        h_pad = pmesh.padded_height(height, n_tile)
+        make_stats = lambda: accum.init_stats(  # noqa: E731
+            cfg.num_layers, h_pad, width
+        )
+        if initial_stats is not None:
+            initial_stats = accum.pad_rows(initial_stats, h_pad)
+        log(f"Mesh: {n_tile} tile x {n_spp_dev} spp devices"
+            + (f" (rows padded {height} -> {h_pad})" if h_pad != height else ""))
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
@@ -222,10 +236,11 @@ def main(argv=None) -> int:
         res = runtime.render_scene(
             scene, cfg, fov_x, trials=trials,
             interrupt=interrupt, on_step=on_step if hooks else None,
-            step_fn=step_fn,
+            step_fn=step_fn, make_stats=make_stats,
             initial_stats=initial_stats, initial_samples=initial_samples,
-            verbose=not args.quiet,
+            verbose=not args.quiet, converge_se=args.converge_se,
         )
+    res.stats = accum.crop(res.stats, height, width)
     interrupt.uninstall()
     if not args.quiet and res.trial_seconds:
         # Measured path segments (same accounting as bench.py), not

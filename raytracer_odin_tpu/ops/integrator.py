@@ -46,6 +46,12 @@ class TraceOptions(NamedTuple):
     # Re-bucket secondary-bounce rays into coherent bundles before casting
     # (Pallas path only; the first bounce keeps image-tile order).
     sort_rays: bool = True
+    # Record per-bounce (o, d, t, alive, anomaly ratios) for every lane —
+    # the device-side ray log (Cast_Info, main.odin:42-47): because the RNG
+    # is a pure per-(pixel, sample, bounce) counter chain, re-tracing a
+    # pixel window with its true stream ids reproduces the full render's
+    # actual sampled paths exactly. Use on small windows only.
+    log_paths: bool = False
 
 
 # shade_row column layout (models/build.py): p u v ng | n1 n2 n3 | tex1..3 |
@@ -260,6 +266,23 @@ def trace(scene, o, d, skey, opts: TraceOptions, stream_ids=None):
         )
         new_d = ev["new_d"]
 
+        ylog = None
+        if opts.log_paths:
+            # One Cast_Info per lane per bounce (main.odin:42-47), plus the
+            # anomaly ratios the reference color-codes
+            # (raytracer.odin:502-515).
+            ylog = {
+                "o": o,
+                "d": d,
+                "t": jnp.where(hit, t, jnp.inf),
+                "alive": alive,
+                "hit": hit,
+                "value_over_pdf": norm_l1(ev["value"]) / pdf,
+                "throughput_l1": norm_l1(
+                    jnp.where(cont[..., None], throughput, 0.0)
+                ),
+            }
+
         if opts.want_aux:
             first = aux["bounces"] == 0
             upd = first & alive
@@ -282,7 +305,7 @@ def trace(scene, o, d, skey, opts: TraceOptions, stream_ids=None):
         alive = cont
         o = m["pos"]
         d = new_d
-        return (o, d, throughput, radiance, alive, rays, aux), None
+        return (o, d, throughput, radiance, alive, rays, aux), ylog
 
     aux0 = {}
     if opts.want_aux:
@@ -310,13 +333,25 @@ def trace(scene, o, d, skey, opts: TraceOptions, stream_ids=None):
         return init[3], dict(aux0, rays_cast=init[5])
     # First bounce: camera rays are already tile-coherent; later bounces are
     # re-bucketed (sort_rays) since scattered directions destroy coherence.
-    state, _ = bounce(init, 0, sort=False)
+    state, ylog0 = bounce(init, 0, sort=False)
+    ylogs = None
     if opts.depth > 1:
-        (o, d, throughput, radiance, alive, rays, aux), _ = jax.lax.scan(
+        (o, d, throughput, radiance, alive, rays, aux), ylogs = jax.lax.scan(
             lambda s, b: bounce(s, b, sort=opts.sort_rays),
             state,
             jnp.arange(1, opts.depth),
         )
     else:
         (o, d, throughput, radiance, alive, rays, aux) = state
-    return radiance, dict(aux, rays_cast=rays)
+    aux = dict(aux, rays_cast=rays)
+    if opts.log_paths:
+        if ylogs is None:
+            aux["ray_log"] = jax.tree_util.tree_map(
+                lambda a: a[None], ylog0
+            )
+        else:
+            aux["ray_log"] = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a[None], b], axis=0),
+                ylog0, ylogs,
+            )
+    return radiance, aux

@@ -285,6 +285,88 @@ def _culled_stream_kernel(counts_ref, lists_ref, aabb_ref, rays_ref, tris_hbm,
     _finish(out_ref, best_t, best_u, best_v, best_i)
 
 
+def _mask_kernel(rays_ref, aabb_ref, out_ref, *, n_words: int):
+    """Exact per-ray cluster masks, bit-packed: out rows 0..n_words-1 are
+    int32 words, bit c%32 of word c//32 = slab hit of cluster c. Clusters
+    are tested 8 at a time in sublanes against RB rays in lanes; the whole
+    pass reads each ray once (the XLA formulation of the same test cost
+    ~49 ms/step in [N, 32] intermediates; this kernel is compute-shaped).
+
+    aabb_ref: [n_words*32, 8] f32, cols = lo.xyz, hi.xyz, pad, pad;
+    padding clusters must carry (BIG, -BIG) boxes so they never hit.
+    """
+    ox = rays_ref[0:1, :]
+    oy = rays_ref[1:2, :]
+    oz = rays_ref[2:3, :]
+    ivx = 1.0 / rays_ref[3:4, :]
+    ivy = 1.0 / rays_ref[4:5, :]
+    ivz = 1.0 / rays_ref[5:6, :]
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+
+    def axis(lo, hi, o, iv):
+        t1 = (lo - o) * iv
+        t2 = (hi - o) * iv
+        tmin = jnp.minimum(t1, t2)
+        tmax = jnp.maximum(t1, t2)
+        tmin = jnp.where(jnp.isnan(tmin), -BIG, tmin)
+        tmax = jnp.where(jnp.isnan(tmax), BIG, tmax)
+        return tmin, tmax
+
+    for w in range(n_words):
+        word = jnp.zeros((1, rays_ref.shape[1]), jnp.int32)
+        for g in range(4):  # 4 sublane groups of 8 clusters per word
+            base = w * 32 + g * 8
+
+            def col(j):
+                return aabb_ref[pl.ds(base, 8), j:j + 1]  # (8, 1)
+
+            nx, xx = axis(col(0), col(3), ox, ivx)
+            ny, xy = axis(col(1), col(4), oy, ivy)
+            nz, xz = axis(col(2), col(5), oz, ivz)
+            near = jnp.maximum(jnp.maximum(nx, ny), nz)
+            far = jnp.minimum(jnp.minimum(xx, xy), xz)
+            hit = (near <= far) & (far >= 0)  # (8, RB)
+            bits = jnp.left_shift(jnp.int32(1), g * 8 + sub)
+            # disjoint bits: sum == bitwise or
+            word = word + jnp.sum(
+                jnp.where(hit, bits, 0), axis=0, keepdims=True,
+                dtype=jnp.int32,
+            )
+        out_ref[w:w + 1, :] = word
+    if n_words < 8:
+        out_ref[n_words:8, :] = jnp.zeros(
+            (8 - n_words, rays_ref.shape[1]), jnp.int32
+        )
+
+
+def cluster_masks(aabb8, o, d):
+    """Bit-packed exact per-ray cluster masks via the Pallas kernel.
+
+    aabb8: [C_pad, 8] f32 (C_pad % 32 == 0; cols lo.xyz, hi.xyz, 2 pad,
+    padding rows (BIG, -BIG)). o, d: [N, 3]. Returns [N, W] int32,
+    W = C_pad // 32 (<= 8).
+    """
+    n_words = aabb8.shape[0] // 32
+    rays, batch_shape, n = pack_rays(o, d)
+    npad = rays.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_mask_kernel, n_words=n_words),
+        grid=(npad // RB,),
+        in_specs=[
+            pl.BlockSpec((8, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (aabb8.shape[0], 8), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((8, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, npad), jnp.int32),
+        interpret=_interpret(),
+    )(rays, aabb8)
+    return out[:n_words, :n].T
+
+
 # ---------------------------------------------------------------------------
 # Host-callable wrappers.
 # ---------------------------------------------------------------------------

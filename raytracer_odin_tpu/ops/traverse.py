@@ -26,6 +26,11 @@ import jax.numpy as jnp
 from raytracer_odin_tpu.ops.bvh import LEAF_SIZE
 from raytracer_odin_tpu.ops.geometry import BIG, RAY_EPS, intersect_aabb, intersect_triangle
 
+# Exact per-ray cluster culling is used when the scene's cluster count fits
+# this many mask bits (4 int32 sort-payload words); bigger scenes fall back
+# to the conservative bundle-interval cull.
+MAX_EXACT_CLUSTERS = 128
+
 
 def _ray_octant(d):
     """Octant index from direction signs: bit k set iff d[k] < 0."""
@@ -176,6 +181,33 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
     o = o + d * RAY_EPS
     batch_shape = o.shape[:-1]
 
+    n_clusters = scene.cluster_lo.shape[0]
+    # Exact per-ray cull (pallas_intersect.cluster_masks): bit-packed masks
+    # ride the coherence sort and OR into exact per-block work lists,
+    # replacing the conservative interval cull. Bounded to scenes whose
+    # mask fits a few sort payload words; larger scenes keep the interval
+    # cull.
+    exact = culled and n_clusters <= MAX_EXACT_CLUSTERS
+    exact_words = None
+    if exact:
+        c_pad = -(-n_clusters // 32) * 32
+        aabb8 = jnp.concatenate(
+            [
+                scene.cluster_lo, scene.cluster_hi,
+                jnp.zeros((n_clusters, 2), jnp.float32),
+            ],
+            axis=-1,
+        )
+        pad_rows = jnp.concatenate(
+            [
+                jnp.full((c_pad - n_clusters, 3), BIG, jnp.float32),
+                jnp.full((c_pad - n_clusters, 3), -BIG, jnp.float32),
+                jnp.zeros((c_pad - n_clusters, 2), jnp.float32),
+            ],
+            axis=-1,
+        )
+        aabb8 = jnp.concatenate([aabb8, pad_rows], axis=0)
+
     perm = None
     if sort:
         o2 = o.reshape(-1, 3)
@@ -195,32 +227,52 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
                 alive_f[:, None], d2,
                 jnp.asarray([1.0, 0.0, 0.0], d2.dtype),
             )
-        keys = culling.coherence_keys(o2, d2, alive_f, scene_lo, scene_hi)
         # Single variadic sort carrying the ray payload + original position:
         # TPU scatters serialize (measured 83 ms for the 2M unsort scatter),
         # while sorts are ~3 ms — so both directions ride lax.sort.
         n_rays = o2.shape[0]
         iota = jnp.arange(n_rays, dtype=jnp.int32)
-        (_, ox, oy, oz, dx, dy, dz, perm) = jax.lax.sort(
-            (keys, o2[:, 0], o2[:, 1], o2[:, 2],
-             d2[:, 0], d2[:, 1], d2[:, 2], iota),
-            num_keys=1,
-        )
+        if exact:
+            # Exact grouping: lexicographic (dead|octant, mask words) —
+            # rays with identical cluster work lists land in the same RB
+            # bundle (measured: mean block union 16.3 clusters vs 40.4
+            # under the interval cull, p50 = 6 vs per-ray exact 4.2).
+            words = pi.cluster_masks(aabb8, o2, d2)
+            octant = _ray_octant(d2)
+            k0 = ((~alive_f).astype(jnp.int32) << 4) | octant
+            w_ops = [words[:, i] for i in range(words.shape[1])]
+            sorted_ops = jax.lax.sort(
+                tuple([k0] + w_ops
+                      + [o2[:, 0], o2[:, 1], o2[:, 2],
+                         d2[:, 0], d2[:, 1], d2[:, 2], iota]),
+                num_keys=1 + len(w_ops),
+            )
+            exact_words = jnp.stack(sorted_ops[1:1 + len(w_ops)], axis=-1)
+            (ox, oy, oz, dx, dy, dz, perm) = sorted_ops[1 + len(w_ops):]
+        else:
+            keys = culling.coherence_keys(
+                o2, d2, alive_f, scene_lo, scene_hi
+            )
+            (_, ox, oy, oz, dx, dy, dz, perm) = jax.lax.sort(
+                (keys, o2[:, 0], o2[:, 1], o2[:, 2],
+                 d2[:, 0], d2[:, 1], d2[:, 2], iota),
+                num_keys=1,
+            )
         o2 = jnp.stack([ox, oy, oz], axis=-1)
         d2 = jnp.stack([dx, dy, dz], axis=-1)
         tiled = False
     else:
-        tiled = (
-            len(batch_shape) == 2
-            and culling.tile_order(batch_shape[0], batch_shape[1])
-        )
+        tiled = len(batch_shape) == 2
         if tiled:
             h, w = batch_shape
-            o2 = culling.to_tiles(o, h, w)
-            d2 = culling.to_tiles(d, h, w)
+            # padding lanes: far origins + null directions = dead rays
+            o2 = culling.to_tiles(o, h, w, pad_value=BIG)
+            d2 = culling.to_tiles(d, h, w, pad_value=0.0)
         else:
             o2 = o.reshape(-1, 3)
             d2 = d.reshape(-1, 3)
+        if exact:
+            exact_words = pi.cluster_masks(aabb8, o2, d2)
 
     if culled:
         n = o2.shape[0]
@@ -228,9 +280,17 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
         o_p = jnp.pad(o2, ((0, npad - n), (0, 0)), constant_values=BIG)
         d_p = jnp.pad(d2, ((0, npad - n), (0, 0)))
         o_lo, o_hi, d_lo, d_hi = culling.block_bounds(o_p, d_p)
-        mask, near = culling.cull_clusters(
+        # Interval pass still supplies `near` for nearest-first ordering
+        # (cheap: [NB, C]); the hit mask itself is the exact OR-union of
+        # the block's per-ray masks when available.
+        imask, near = culling.cull_clusters(
             o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
         )
+        if exact_words is not None:
+            w_p = jnp.pad(exact_words, ((0, npad - n), (0, 0)))
+            mask = culling.unpack_mask(culling.or_blocks(w_p), n_clusters)
+        else:
+            mask = imask
         # Nearest-first lists (kernel early-out); capped length to bound
         # SMEM — rare overflow blocks sweep all clusters inside the kernel
         # (correct, just unculled).

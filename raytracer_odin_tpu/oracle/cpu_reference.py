@@ -398,11 +398,15 @@ def trace(sc: OracleScene, o, d, depth, rng):
     return radiance
 
 
-def render(dscene, width, height, fov_x, depth, spp, seed=0):
-    """Render the mean image [H, W, 3] with the oracle."""
+def render(dscene, width, height, fov_x, depth, spp, seed=0,
+           return_var=False):
+    """Render the mean image [H, W, 3] with the oracle. With return_var,
+    returns (mean, per-pixel sample variance) — used by the RMSE harness to
+    set the Monte-Carlo noise floor and compare firefly variance."""
     sc = OracleScene(dscene)
     rng = np.random.default_rng(seed)
     acc = np.zeros((height, width, 3), np.float64)
+    acc2 = np.zeros((height, width, 3), np.float64)
     aspect = width / height
     tan_fx = np.tan(fov_x / 2)
     tan_fy = tan_fx / aspect
@@ -417,5 +421,12 @@ def render(dscene, width, height, fov_x, depth, spp, seed=0):
         v = np.stack([x * tan_fx, np.broadcast_to(y * tan_fy, x.shape), np.ones_like(x)], axis=-1)
         d = _normalize(v @ sc.cam_basis.T).reshape(-1, 3).astype(np.float32)
         o = np.broadcast_to(sc.cam_pos, d.shape).astype(np.float32)
-        acc += trace(sc, o, d, depth, rng).reshape(height, width, 3)
-    return (acc / spp).astype(np.float32)
+        s = trace(sc, o, d, depth, rng).reshape(height, width, 3)
+        acc += s
+        if return_var:
+            acc2 += s.astype(np.float64) ** 2
+    mean = (acc / spp).astype(np.float32)
+    if not return_var:
+        return mean
+    var = np.maximum(acc2 / spp - (acc / spp) ** 2, 0.0).astype(np.float32)
+    return mean, var

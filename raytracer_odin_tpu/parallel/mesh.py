@@ -36,6 +36,13 @@ from raytracer_odin_tpu.render import accum
 from raytracer_odin_tpu.render.runtime import sample_pass
 
 
+def padded_height(height: int, n_tile: int) -> int:
+    """Internal row count for tile sharding: the smallest multiple of
+    n_tile covering the image. Extra rows are rendered-and-cropped so any
+    user resolution works (accum.crop drops them at readout)."""
+    return -(-height // n_tile) * n_tile
+
+
 def make_mesh(n_tile: Optional[int] = None, n_spp: int = 1,
               devices=None) -> Mesh:
     """Build a ("tile", "spp") mesh. Defaults: all devices on the tile axis."""
@@ -73,19 +80,20 @@ def make_sharded_render_step(cfg: RenderConfig, fov_x: float, mesh: Mesh,
     cfg.debug_features); `rays` is the replicated global int32 count of
     path segments cast, same accounting as the single-chip step.
 
-    cfg.samples_per_step must be divisible by the spp axis size; cfg.height
-    by the tile axis size.
+    cfg.samples_per_step must be divisible by the spp axis size. Any image
+    height works: rows are padded internally to the tile axis (the stats
+    arrays passed in/out are [L, padded_height(H, n_tile), W]; crop with
+    accum.crop at readout).
     """
     n_tile = mesh.shape["tile"]
     n_spp = mesh.shape["spp"]
     H, W = cfg.height, cfg.width
-    if H % n_tile:
-        raise ValueError(f"height {H} not divisible by tile axis {n_tile}")
+    H_pad = padded_height(H, n_tile)
     if cfg.samples_per_step % n_spp:
         raise ValueError(
             f"samples_per_step {cfg.samples_per_step} not divisible by spp axis {n_spp}"
         )
-    h_local = H // n_tile
+    h_local = H_pad // n_tile
     s_local = cfg.samples_per_step // n_spp
     n_layers = cfg.num_layers
 

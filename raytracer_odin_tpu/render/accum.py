@@ -58,6 +58,35 @@ def init_stats(num_layers: int, height: int, width: int) -> Stats:
     )
 
 
+def crop(stats: Stats, height: int, width: int) -> Stats:
+    """Drop internal padding rows/cols (sharded renders pad the image so
+    rows divide the tile axis; the user-visible resolution never changes)."""
+    if stats.count.shape[1] == height and stats.count.shape[2] == width:
+        return stats
+    return Stats(
+        first=stats.first[:, :height, :width],
+        last=stats.last[:, :height, :width],
+        total=stats.total[:, :height, :width],
+        total_sq=stats.total_sq[:, :height, :width],
+        count=stats.count[:, :height, :width],
+    )
+
+
+def pad_rows(stats: Stats, height_pad: int) -> Stats:
+    """Zero-pad rows up to height_pad (inverse of crop for resume)."""
+    h = stats.count.shape[1]
+    if h == height_pad:
+        return stats
+    w4 = ((0, 0), (0, height_pad - h), (0, 0), (0, 0))
+    return Stats(
+        first=jnp.pad(stats.first, w4),
+        last=jnp.pad(stats.last, w4),
+        total=jnp.pad(stats.total, w4),
+        total_sq=jnp.pad(stats.total_sq, w4),
+        count=jnp.pad(stats.count, w4[:3]),
+    )
+
+
 def update_layers(stats: Stats, vals) -> Stats:
     """Record one sample per pixel on layers [0, L) at once (rc_set_pixel
     semantics per layer, main.odin:89-102). vals: [L, H, W, 3] with

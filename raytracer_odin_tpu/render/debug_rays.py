@@ -6,11 +6,18 @@ entries per pixel and draws the hovered pixel's paths in the debug window
 debug.odin:102-125). Anomalous (firefly) segments are color-coded
 (raytracer.odin:502-515).
 
-The TPU equivalent traces the requested pixel's paths on demand with the
-instrumented CPU oracle — no cost on the device hot path, same information:
-every path segment with its hit distance, plus the reference's anomaly
-color coding. Consumed by the HTTP preview (?pixel=x,y) and available as a
-library call.
+Two sources:
+
+  * `trace_pixel_paths_device` (default) — the ACTUAL device-sampled paths:
+    the integrator's RNG is a pure per-(pixel, sample, bounce) counter
+    chain and per-ray intersection math is batch-independent, so re-tracing
+    just the requested pixel's rays on device with its true stream ids
+    (opts.log_paths) reproduces the full render's paths exactly. This is
+    what ray logs are for: debugging device-specific anomalies.
+  * `trace_pixel_paths` — the instrumented CPU oracle with its own RNG (an
+    independent second opinion on the same pixel).
+
+Consumed by the HTTP preview (?pixel=x,y[&src=oracle]) and as library calls.
 """
 
 from __future__ import annotations
@@ -98,4 +105,61 @@ def trace_pixel_paths(dscene, width, height, fov_x, depth, px, py,
             if np.abs(throughput).sum() > 1e3:
                 segments[-1].color = (1.0, 0.0, 0.0)  # exitance anomaly
             o, d = hit_pos.astype(np.float32), nd.astype(np.float32)
+    return segments
+
+
+def trace_pixel_paths_device(dscene, width, height, fov_x, depth, px, py,
+                             samples=8, seed=0, intersector="auto"):
+    """The actual device-sampled paths through pixel (px, py) for samples
+    [0, samples): bit-identical to what the full render draws for that
+    pixel (counter-based RNG + batch-independent per-ray math). `py` is in
+    reference pixel coords (y up), matching trace_pixel_paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_odin_tpu.ops.integrator import (
+        TraceOptions, lane_uniforms, trace,
+    )
+    from raytracer_odin_tpu.render.runtime import generate_rays
+
+    row = height - 1 - py  # image row of this reference pixel
+    sid = jnp.asarray([row * width + px], jnp.int32)
+    opts = TraceOptions(depth=depth, intersector=intersector,
+                        want_aux=False, log_paths=True)
+
+    @jax.jit
+    def one_sample(scene, skey):
+        jitter = lane_uniforms(jax.random.fold_in(skey, 0x7E11), sid, 2)
+        o, d = generate_rays(
+            scene.cam_pos, scene.cam_basis, fov_x, width, height,
+            jitter[:, None, :], row_offset=row, n_rows=1,
+        )
+        # generate_rays builds a [1, W]-style grid row; we want one column.
+        o = o[:, px if o.shape[1] > 1 else 0]
+        d = d[:, px if d.shape[1] > 1 else 0]
+        _, aux = trace(scene, o, d, skey, opts, stream_ids=sid)
+        return aux["ray_log"]
+
+    base_key = jax.random.PRNGKey(seed)
+    segments: list[RaySegment] = []
+    for s in range(samples):
+        skey = jax.random.fold_in(base_key, s)
+        log = jax.device_get(one_sample(dscene, skey))
+        for b in range(depth):
+            if not bool(log["alive"][b, 0]):
+                break
+            o = np.asarray(log["o"][b, 0])
+            d = np.asarray(log["d"][b, 0])
+            t = float(log["t"][b, 0])
+            if not bool(log["hit"][b, 0]):
+                segments.append(RaySegment(
+                    o, o + d * 100.0, np.inf, (0.6, 0.6, 1.0), b, s
+                ))
+                break
+            color = (1.0, 1.0, 1.0)
+            if float(log["value_over_pdf"][b, 0]) > 1e3:
+                color = (0.0, 1.0, 0.0)  # value/pdf anomaly
+            elif float(log["throughput_l1"][b, 0]) > 1e3:
+                color = (1.0, 0.0, 0.0)  # exitance anomaly
+            segments.append(RaySegment(o, o + d * t, t, color, b, s))
     return segments

@@ -122,7 +122,7 @@ class Preview:
             self.samples_done = samples_done
 
     def frame(self, layer=0, mode="mean", lines_level=None,
-              pixel=None) -> np.ndarray | None:
+              pixel=None, pixel_src="device") -> np.ndarray | None:
         with self._lock:
             stats = self._stats
         if stats is None:
@@ -142,7 +142,15 @@ class Preview:
             px, py_img = pixel
             # image row -> reference pixel y (y up)
             py = self.dims[1] - 1 - py_img
-            segs = debug_rays.trace_pixel_paths(
+            # default: the actual device-sampled paths (main.odin:42-47
+            # parity); ?src=oracle re-traces with the independent CPU
+            # reference instead.
+            tracer = (
+                debug_rays.trace_pixel_paths
+                if pixel_src == "oracle"
+                else debug_rays.trace_pixel_paths_device
+            )
+            segs = tracer(
                 self.scene, self.dims[0], self.dims[1], self.fov_x,
                 self.ray_depth, px, py,
             )
@@ -184,7 +192,8 @@ class Preview:
                     if pix:
                         xy = pix.split(",")
                         pixel = (int(xy[0]), int(xy[1]))
-                    img = preview.frame(layer, mode, lines_level, pixel)
+                    src = q.get("src", ["device"])[0]
+                    img = preview.frame(layer, mode, lines_level, pixel, src)
                     if img is None:
                         self.send_response(503)
                         self.end_headers()

@@ -255,12 +255,26 @@ def render_scene(
     initial_stats: Optional[accum.Stats] = None,
     initial_samples: int = 0,
     verbose: bool = False,
+    make_stats: Optional[Callable] = None,
+    converge_se: float = 0.0,
+    converge_check_every: int = 16,
 ) -> RenderResult:
     """Full render with trials/benchmark support (render_scene,
     raytracer.odin:602-665). In continuous mode (cfg.continuous) the loop
     runs until interrupted; on_step(stats, samples_done) is called after
-    every device step (preview/checkpoint hook)."""
+    every device step (preview/checkpoint hook). `make_stats` overrides the
+    fresh-accumulator factory (sharded renders allocate padded rows).
+
+    converge_se > 0 adds a convergence stop to continuous mode: every
+    `converge_check_every` steps the mean per-pixel standard error of the
+    beauty mean (sqrt(sample variance / count), averaged over pixels and
+    channels) is computed on device; the render stops once it drops below
+    the threshold."""
     step = step_fn or make_render_step(cfg, fov_x)
+    if make_stats is None:
+        make_stats = lambda: accum.init_stats(  # noqa: E731
+            cfg.num_layers, cfg.height, cfg.width
+        )
     timings = []
     result_stats = None
     samples_done = 0
@@ -271,7 +285,7 @@ def render_scene(
         stats = (
             initial_stats
             if (initial_stats is not None and trial == 0)
-            else accum.init_stats(cfg.num_layers, cfg.height, cfg.width)
+            else make_stats()
         )
         samples_done = initial_samples if trial == 0 else 0
         base_key = jax.random.PRNGKey(cfg.seed)
@@ -291,6 +305,24 @@ def render_scene(
             samples_done += cfg.samples_per_step
             if on_step is not None:
                 on_step(stats, samples_done)
+            if (
+                converge_se > 0.0
+                and cfg.continuous
+                and (samples_done // cfg.samples_per_step)
+                % converge_check_every == 0
+            ):
+                se = float(mean_standard_error(
+                    accum.crop(stats, cfg.height, cfg.width)
+                ))
+                if verbose:
+                    print(
+                        f"{samples_done} spp, mean standard error {se:.2e}"
+                        f" (target {converge_se:.1e})"
+                    )
+                if se < converge_se:
+                    if verbose:
+                        print(f"Converged at {samples_done} spp")
+                    break
         jax.block_until_ready(stats.count)
         elapsed = time.perf_counter() - start
         timings.append(elapsed)
@@ -310,6 +342,17 @@ def render_scene(
         trial_seconds=timings,
         rays_cast=rays,
     )
+
+
+@jax.jit
+def mean_standard_error(stats: accum.Stats):
+    """Mean per-pixel standard error of the beauty-layer mean: the
+    convergence statistic for continuous mode (consumes the variance the
+    reference only visualizes, output.odin:41-44)."""
+    n = jnp.maximum(stats.count[0], 1.0)[..., None]
+    mean = stats.total[0] / n
+    var = jnp.maximum(stats.total_sq[0] / n - mean * mean, 0.0)
+    return jnp.mean(jnp.sqrt(var / n))
 
 
 def print_perf_summary(timings_s: list) -> None:

@@ -129,3 +129,42 @@ def test_axis_aligned_rays_pallas():
     assert np.array_equal(np.asarray(ib) >= 0, np.asarray(ip) >= 0)
     hit = np.asarray(ib) >= 0
     assert np.allclose(np.asarray(tb)[hit], np.asarray(tp)[hit], rtol=1e-4, atol=1e-4)
+
+
+def test_cluster_mask_kernel_matches_xla():
+    """The Pallas mask kernel bit-for-bit matches the XLA reference
+    formulation (culling.ray_cluster_masks), including axis-parallel rays
+    and dead (far) lanes."""
+    rng = np.random.default_rng(7)
+    p, u, v = random_triangles(rng, 200)  # several clusters
+    scene = make_scene(p, u, v)
+    c = scene.cluster_lo.shape[0]
+    c_pad = -(-c // 32) * 32
+    aabb8 = np.zeros((c_pad, 8), np.float32)
+    aabb8[:, 0:3] = pi.BIG
+    aabb8[:, 3:6] = -pi.BIG
+    aabb8[:c, 0:3] = np.asarray(scene.cluster_lo)
+    aabb8[:c, 3:6] = np.asarray(scene.cluster_hi)
+
+    n = 70
+    o = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d[5] = [1.0, 0.0, 0.0]   # axis-parallel
+    d[6] = [0.0, -1.0, 0.0]
+    o[7] = pi.BIG            # dead far lane
+    d[7] = [1.0, 0.0, 0.0]
+
+    want = np.asarray(
+        culling.ray_cluster_masks(
+            jnp.asarray(o), jnp.asarray(d), scene.cluster_lo, scene.cluster_hi
+        )
+    )
+    got = np.asarray(pi.cluster_masks(jnp.asarray(aabb8), jnp.asarray(o), jnp.asarray(d)))
+    w = want.shape[1]
+    assert np.array_equal(got[:, :w], want), (got[:5], want[:5])
+    # dead lane: no REAL cluster bits (padding-cluster bits are never
+    # consumed — unpack_mask stops at C — and may legitimately be set:
+    # the swapped slab test treats inverted padding boxes as unbounded)
+    real_bits = (1 << c) - 1
+    assert int(got[7, 0]) & real_bits == 0

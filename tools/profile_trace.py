@@ -89,18 +89,33 @@ def parse_trace() -> None:
         elif e.get("name") == "thread_name" and "XLA Ops" in name:
             op_tids.add((e.get("pid"), e.get("tid")))
 
+    # Self-times: ops on the "XLA Ops" line nest (while/closed_call wrap
+    # their bodies) — subtract child durations from the enclosing event.
+    per_tid = defaultdict(list)
+    for e in events:
+        if (
+            e.get("ph") == "X"
+            and e.get("pid") in dev_pids
+            and (e.get("pid"), e.get("tid")) in op_tids
+        ):
+            per_tid[(e["pid"], e["tid"])].append(e)
+
     by_cat = defaultdict(float)
     by_op = defaultdict(float)
-    total = 0.0
-    for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
-            continue
-        if (e.get("pid"), e.get("tid")) not in op_tids:
-            continue
-        name = e.get("name", "")
-        dur = float(e.get("dur", 0.0))  # microseconds
-        total += dur
-        by_op[name.split(".")[0]] += dur
+    for evs in per_tid.values():
+        evs.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+        stack = []  # (ts, dur, op_name)
+        for e in evs:
+            ts, dur = e["ts"], float(e.get("dur", 0.0))  # microseconds
+            while stack and ts >= stack[-1][0] + stack[-1][1]:
+                stack.pop()
+            name = e.get("name", "").split(".")[0]
+            if stack:
+                by_op[stack[-1][2]] -= dur  # child: not parent's self time
+            stack.append((ts, dur, name))
+            by_op[name] += dur
+    total = sum(by_op.values())
+    for name, dur in by_op.items():
         for cat, rx in CATEGORIES:
             if rx.search(name):
                 by_cat[cat] += dur

@@ -1,0 +1,50 @@
+"""Shared config table for the accuracy (RMSE) harness.
+
+The BASELINE.json accuracy target is "per-pixel RMSE < 1e-3 vs the CPU
+reference at equal spp". Two separable claims are measured per config:
+
+1. **Numerical parity (same seed)** — the TPU render and the CPU render of
+   the *same implementation* draw identical sample sets (counter-based
+   per-pixel RNG), so their difference is pure numerics (ULP divergence on
+   hit decisions between the Pallas and BVH intersectors). Full config
+   resolution, reduced spp for the heavy configs (equal on both sides).
+
+2. **Distribution agreement vs the independent oracle (converged)** — the
+   numpy oracle (oracle/cpu_reference.py) is an independent implementation
+   with its own sampler; means can only agree up to the Monte-Carlo noise
+   floor sqrt(var_a/N_a + var_b/N_b). At practical sample counts that floor
+   is >> 1e-3 (e.g. ~3e-2 at 1024 spp), so the report states the measured
+   RMSE of means, the noise floor, their ratio (≈1 means the implementations
+   agree to within sampling noise — the strongest statistically possible
+   claim), a z-outlier fraction, and the firefly variance ratio. Proxy
+   resolution keeps the single-core oracle tractable (~1.3 Krays/s).
+"""
+
+OUT_DIR = "out/rmse"
+SCENE_DIR = "/tmp/baseline_scenes"
+
+# name, scene, W, H, depth, cfg_spp, same_seed_spp, proxy (w, h, spp)
+CONFIGS = [
+    ("cfg1_cube", "cube", 256, 256, 2, 16, 16, (64, 48, 256)),
+    ("cfg2_cornell", "cornell", 512, 512, 6, 64, 16, (64, 48, 96)),
+    ("cfg3_textured", "textured", 800, 600, 8, 128, 8, (64, 48, 96)),
+    ("cfg4_envmap", "envmap", 1024, 768, 8, 256, 8, (64, 48, 96)),
+    ("cfg5_demo", "demo", 1920, 1080, 8, 256, 2, (64, 36, 96)),
+]
+
+TPU_PROXY_SPP = 1024  # TPU side of the converged comparison (cheap on TPU)
+
+
+def load_scene(scene_name: str):
+    from raytracer_odin_tpu.io import gltf, images
+    from raytracer_odin_tpu.models import assets, build
+    from raytracer_odin_tpu.models.scene import HostTexture
+
+    info = assets.generate(scene_name, SCENE_DIR)
+    host = gltf.read_gltf(info["gltf"])
+    env = None
+    if "env" in info:
+        li = images.load_image(info["env"])
+        env = HostTexture(li.data, li.is_hdr)
+    scene = build.finish_scene(host, env_map=env, verbose=False)
+    return host, scene

@@ -1,0 +1,86 @@
+"""Combine the rmse_{tpu,cpu,oracle}.py outputs into the accuracy report.
+
+Writes out/rmse/report.jsonl (one line per config) and prints it. See
+tools/rmse_common.py for what each column means and why the oracle
+comparison is judged against the Monte-Carlo noise floor.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent))
+from rmse_common import CONFIGS, OUT_DIR, TPU_PROXY_SPP
+
+
+def main():
+    out = Path(OUT_DIR)
+    lines = []
+    for name, _scene, w, h, depth, cfg_spp, ss_spp, proxy in CONFIGS:
+        rec = {"config": name, "resolution": f"{w}x{h}", "depth": depth,
+               "config_spp": cfg_spp}
+
+        t = out / f"{name}_tpu_sameseed.npy"
+        c = out / f"{name}_cpu_sameseed.npy"
+        if t.exists() and c.exists():
+            a = np.load(t).astype(np.float64)
+            b = np.load(c).astype(np.float64)
+            d2 = (a - b) ** 2
+            rec["same_seed_spp"] = ss_spp
+            rec["same_seed_rmse"] = float(np.sqrt(d2.mean()))
+            rec["same_seed_p99_abs"] = float(
+                np.percentile(np.abs(a - b), 99)
+            )
+            rec["same_seed_frac_gt_1e3"] = float(
+                (np.abs(a - b) > 1e-3).mean()
+            )
+            rec["same_seed_pass_1e3"] = bool(rec["same_seed_rmse"] < 1e-3)
+
+        om = out / f"{name}_oracle_mean.npy"
+        tm = out / f"{name}_tpu_proxy_mean.npy"
+        if om.exists() and tm.exists():
+            o_mean = np.load(om).astype(np.float64)
+            o_var = np.load(out / f"{name}_oracle_var.npy").astype(np.float64)
+            o_spp = int(np.load(out / f"{name}_oracle_spp.npy"))
+            t_mean = np.load(tm).astype(np.float64)
+            t_var = np.load(out / f"{name}_tpu_proxy_var.npy").astype(np.float64)
+            diff = t_mean - o_mean
+            rmse = float(np.sqrt((diff**2).mean()))
+            # Monte-Carlo noise floor of the comparison itself.
+            floor_map = np.sqrt(o_var / o_spp + t_var / TPU_PROXY_SPP)
+            floor = float(np.sqrt((floor_map**2).mean()))
+            z = diff / np.maximum(floor_map, 1e-9)
+            pw, ph, pspp = proxy
+            rec["oracle_proxy"] = f"{pw}x{ph}"
+            rec["oracle_spp"] = o_spp
+            rec["tpu_proxy_spp"] = TPU_PROXY_SPP
+            rec["converged_rmse"] = rmse
+            rec["noise_floor_rmse"] = floor
+            rec["rmse_over_floor"] = round(rmse / max(floor, 1e-12), 3)
+            rec["frac_z_gt4"] = float((np.abs(z) > 4).mean())
+            # Firefly check: does the device path carry extra variance?
+            lum_t = t_var.mean(-1)
+            lum_o = o_var.mean(-1)
+            rec["variance_ratio_tpu_over_oracle"] = float(
+                lum_t.mean() / max(lum_o.mean(), 1e-12)
+            )
+            # Agreement verdict: means indistinguishable from sampling noise.
+            rec["distribution_agrees"] = bool(
+                rec["rmse_over_floor"] < 1.5 and rec["frac_z_gt4"] < 0.005
+            )
+        lines.append(rec)
+
+    rp = out / "report.jsonl"
+    with open(rp, "w") as f:
+        for rec in lines:
+            f.write(json.dumps(rec) + "\n")
+            print(json.dumps(rec))
+    print(f"\nwrote {rp}")
+
+
+if __name__ == "__main__":
+    main()
