@@ -104,25 +104,56 @@ def finish_scene(host: HostScene, env_map: HostTexture | None = None,
         phi = np.zeros((0, 3), np.float32)
     cl_lo, cl_hi = culling_mod.cluster_aabbs(plo, phi)
 
-    # One 64-float shading row per triangle: geometry + shading attrs +
-    # inlined material (materials are per-primitive in the reference,
-    # input.odin:161-162, so inlining loses nothing). Column layout below
-    # must match ops/integrator.SHADE_ROW.
+    # One shading row per triangle: shading attrs + inlined material
+    # (materials are per-primitive in the reference, input.odin:161-162, so
+    # inlining loses nothing). The layout is scene-specialized: the row
+    # gather dominates material-eval cost on TPU, so blocks the scene cannot
+    # exercise are not packed. Hit positions come from o + d*t (exact ray
+    # algebra), so p/u/v never ride the row. The (name, offset) layout is
+    # static pytree aux consumed by ops/integrator._point_material.
     tmat = g(host.mat_index) if n_tri else np.zeros(0, np.int32)
-    shade_row = np.zeros((n_tri, 64), np.float32)
     if n_tri:
-        shade_row[:, 0:3] = g(host.p)
-        shade_row[:, 3:6] = g(host.u)
-        shade_row[:, 6:9] = g(host.v)
-        shade_row[:, 9:12] = g(host.ng)
-        shade_row[:, 12:21] = tri_n.reshape(n_tri, 9)
-        shade_row[:, 21:27] = tri_tex.reshape(n_tri, 6)
-        shade_row[:, 27:39] = tri_tan.reshape(n_tri, 12)
-        shade_row[:, 39:42] = mat_color[tmat]
-        shade_row[:, 42:45] = mat_emission[tmat]
-        shade_row[:, 45] = mat_metallic[tmat]
-        shade_row[:, 46] = mat_roughness[tmat]
-        shade_row[:, 47:51] = mat_tex[tmat].astype(np.float32)
+        tex_kinds = tuple(bool(k) for k in (mat_tex[tmat] >= 0).any(axis=0))
+    else:
+        tex_kinds = (False, False, False, False)
+    need_tex = any(tex_kinds)
+    need_tan = tex_kinds[3]
+
+    blocks = [("ng", 3), ("n", 9)]
+    if need_tex:
+        blocks.append(("tex", 6))
+    if need_tan:
+        blocks.append(("tan", 12))
+    blocks += [("color", 3), ("emission", 3), ("metallic", 1),
+               ("roughness", 1)]
+    if need_tex:
+        blocks.append(("texids", 4))
+    row_spec, off = [], 0
+    for name, width in blocks:
+        row_spec.append((name, off))
+        off += width
+    row_width = -(-off // 8) * 8  # pad to a sublane multiple
+    row_spec = tuple(row_spec)
+    spec = dict(row_spec)
+
+    shade_row = np.zeros((n_tri, row_width), np.float32)
+    if n_tri:
+        def put(name, data):
+            data = data.reshape(n_tri, -1)
+            shade_row[:, spec[name]:spec[name] + data.shape[1]] = data
+
+        put("ng", g(host.ng))
+        put("n", tri_n)
+        if need_tex:
+            put("tex", tri_tex)
+        if need_tan:
+            put("tan", tri_tan)
+        put("color", mat_color[tmat])
+        put("emission", mat_emission[tmat])
+        put("metallic", mat_metallic[tmat])
+        put("roughness", mat_roughness[tmat])
+        if need_tex:
+            put("texids", mat_tex[tmat].astype(np.float32))
 
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     i32 = lambda a: jnp.asarray(a, jnp.int32)
@@ -166,4 +197,6 @@ def finish_scene(host: HostScene, env_map: HostTexture | None = None,
         cam_pos=f32(host.cam.pos),
         cam_basis=f32(host.cam.basis),
         env_tex=int(env_tex_id),
+        row_spec=row_spec,
+        tex_kinds=tex_kinds,
     )

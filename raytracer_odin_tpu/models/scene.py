@@ -186,16 +186,30 @@ class DeviceScene:
     ptri: Any                 # [Tpad, 12] packed p/u/v rows, LEAF-padded
     cluster_lo: Any           # [C, 3] treelet-cluster AABBs
     cluster_hi: Any           # [C, 3]
-    # Hit-shading row: all per-triangle attributes + the (per-primitive)
+    # Hit-shading row: per-triangle shading attributes + the (per-primitive)
     # material inlined, so material evaluation is ONE contiguous row-gather
-    # per hit instead of ~10 scattered gathers (see SHADE_ROW_* in
-    # models/build.py for the column layout):
-    shade_row: Any            # [T, 64] f32
+    # per hit instead of ~10 scattered gathers. The row layout is
+    # scene-specialized (models/build.py): blocks a scene cannot use
+    # (texcoords without textures, tangents without normal maps) are not
+    # packed at all — the gather is the dominant material-eval cost on TPU,
+    # so row width is minimized per scene, exactly like the reference's
+    # compile-time feature gating (main.odin:17-18) but keyed on scene
+    # content.
+    shade_row: Any            # [T, RW] f32, RW static per scene
     # Camera (traced values; fov kept static on the python side too):
     cam_pos: Any              # [3]
     cam_basis: Any            # [3, 3]
     # Environment map texture id: static python int, -1 = none (pytree aux).
     env_tex: int = -1
+    # Static shade-row layout: tuple of (block_name, column_offset), pytree
+    # aux — selects the compiled program per scene content. Blocks: ng(3),
+    # n(9), tex(6), tan(12), color(3), emission(3), metallic(1),
+    # roughness(1), texids(4).
+    row_spec: tuple = ()
+    # Static per-kind texture presence over materials actually referenced by
+    # triangles: (color, emission, metallic_roughness, normal). A kind no
+    # material uses compiles its atlas gather out entirely.
+    tex_kinds: tuple = (False, False, False, False)
 
     # -- static metadata (not traced; stored via pytree aux would complicate
     #    donation, so kept as plain ints reconstructed from shapes) --
@@ -208,4 +222,6 @@ class DeviceScene:
         return self.light_p.shape[0]
 
 
-_register_pytree(DeviceScene, static_fields=("env_tex",))
+_register_pytree(
+    DeviceScene, static_fields=("env_tex", "row_spec", "tex_kinds")
+)

@@ -162,6 +162,18 @@ def or_blocks(words):
     )
 
 
+def or_blocks_packed(words):
+    """Row-major [W, Npad] (cluster_masks_packed layout) -> per-RB-block OR
+    [NB, W]."""
+    w, npad = words.shape
+    return jax.lax.reduce(
+        words.reshape(w, npad // RB, RB),
+        jnp.int32(0),
+        jax.lax.bitwise_or,
+        (2,),
+    ).T
+
+
 def unpack_mask(words, c: int):
     """[NB, W] int32 -> [NB, C] bool."""
     idx = jnp.arange(c, dtype=jnp.int32)

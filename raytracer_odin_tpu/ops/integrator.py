@@ -54,29 +54,22 @@ class TraceOptions(NamedTuple):
     log_paths: bool = False
 
 
-# shade_row column layout (models/build.py): p u v ng | n1 n2 n3 | tex1..3 |
-# tan1..3 | color emission metallic roughness | tex ids (4) | pad
-SR_P = 0
-SR_U = 3
-SR_V = 6
-SR_NG = 9
-SR_N = 12
-SR_TEX = 21
-SR_TAN = 27
-SR_COLOR = 39
-SR_EMISSION = 42
-SR_METALLIC = 45
-SR_ROUGHNESS = 46
-SR_TEXIDS = 47
-
-
-def _point_material(scene, d, tri_idx, bu, bv):
+def _point_material(scene, o, d, t, tri_idx, bu, bv):
     """Evaluate the hit-point material (raytracer.odin:448-488).
 
     All per-triangle data (attributes + inlined material) arrives in one
-    contiguous 64-float row-gather (scene.shade_row) — the dominant cost of
-    this stage on TPU is gathers, so it is exactly one per hit plus the
-    texture taps.
+    contiguous row-gather (scene.shade_row) — the dominant cost of this
+    stage on TPU is gathers, so it is exactly one per hit plus the texture
+    taps. The row layout is scene-specialized (models/build.py): blocks the
+    scene cannot use are not packed, and the corresponding math (texcoord
+    interpolation, tangent-space normal mapping, per-kind texture gathers)
+    compiles out entirely — the TPU analogue of the reference's
+    compile-time `when` gating (main.odin:17-18).
+
+    The hit position is o + d*t — exact for the `cast_ray` convention
+    (RAY_EPS pushed into the origin and re-added to t,
+    raytracer.odin:416-430) — instead of the reference's barycentric
+    interpolation p + bu*u + bv*v; the two agree to float rounding.
 
     Returns dict with pos, normal (possibly normal-mapped, not yet
     inside-flipped), ng, color, emission, metallic, roughness, inside.
@@ -85,57 +78,75 @@ def _point_material(scene, d, tri_idx, bu, bv):
     w0 = (1.0 - bu - bv)[..., None]
     w1 = bu[..., None]
     w2 = bv[..., None]
+    spec = dict(scene.row_spec)
+    kinds = scene.tex_kinds
 
-    row = scene.shade_row[ti]  # [..., 64] single gather
+    row = scene.shade_row[ti]  # [..., RW] single gather
 
-    tex = row[..., SR_TEX:SR_TEX + 6].reshape(ti.shape + (3, 2))
-    texcoords = tex[..., 0, :] * w0 + tex[..., 1, :] * w1 + tex[..., 2, :] * w2
+    def blk(name, width):
+        s = spec[name]
+        return row[..., s:s + width]
 
-    pos = (
-        row[..., SR_P:SR_P + 3]
-        + row[..., SR_U:SR_U + 3] * w1
-        + row[..., SR_V:SR_V + 3] * w2
+    pos = o + d * t[..., None]
+
+    if "tex" in spec:
+        tex = blk("tex", 6).reshape(ti.shape + (3, 2))
+        texcoords = (
+            tex[..., 0, :] * w0 + tex[..., 1, :] * w1 + tex[..., 2, :] * w2
+        )
+        mtex = blk("texids", 4).astype(jnp.int32)
+    else:
+        texcoords = jnp.zeros(ti.shape + (2,), jnp.float32)
+        mtex = None
+
+    ones = jnp.ones(ti.shape + (4,), jnp.float32)
+    mr = texture.sample(scene, mtex[..., 2], texcoords) if kinds[2] else ones
+    col_tex = (
+        texture.sample(scene, mtex[..., 0], texcoords, srgb=True)
+        if kinds[0] else ones
+    )
+    emi_tex = (
+        texture.sample(scene, mtex[..., 1], texcoords, srgb=True)
+        if kinds[1] else ones
     )
 
-    mtex = row[..., SR_TEXIDS:SR_TEXIDS + 4].astype(jnp.int32)
-
-    mr = texture.sample(scene, mtex[..., 2], texcoords)
-    col_tex = texture.sample(scene, mtex[..., 0], texcoords, srgb=True)
-    emi_tex = texture.sample(scene, mtex[..., 1], texcoords, srgb=True)
-
-    tri_n = row[..., SR_N:SR_N + 9].reshape(ti.shape + (3, 3))
+    tri_n = blk("n", 9).reshape(ti.shape + (3, 3))
     n_interp = (
         tri_n[..., 0, :] * w0 + tri_n[..., 1, :] * w1 + tri_n[..., 2, :] * w2
     )
     n_smooth = normalize(n_interp, eps=1e-20)
 
-    # Normal mapping branch (raytracer.odin:458-470): the interpolated
-    # tangent4 is normalized as a 4-vector (faithful to the reference,
-    # including the resulting non-orthonormal basis).
-    tri_tan = row[..., SR_TAN:SR_TAN + 12].reshape(ti.shape + (3, 4))
-    tan4 = (
-        tri_tan[..., 0, :] * w0 + tri_tan[..., 1, :] * w1 + tri_tan[..., 2, :] * w2
-    )
-    tan4 = tan4 / jnp.maximum(
-        jnp.sqrt(jnp.sum(tan4 * tan4, axis=-1, keepdims=True)), 1e-20
-    )
-    local_x = tan4[..., :3]
-    local_z = n_smooth
-    local_y = jnp.cross(local_z, local_x) * tan4[..., 3:4]
-    nrm_sample = texture.sample(
-        scene, mtex[..., 3], texcoords, default=(0.5, 1.0, 0.5, 0.0)
-    )[..., :3]
-    local_n = nrm_sample * 2.0 - 1.0
-    n_mapped = normalize(
-        local_x * local_n[..., 0:1]
-        + local_y * local_n[..., 1:2]
-        + local_z * local_n[..., 2:3],
-        eps=1e-20,
-    )
-    has_nmap = mtex[..., 3] >= 0
-    normal = jnp.where(has_nmap[..., None], n_mapped, n_smooth)
+    if kinds[3]:
+        # Normal mapping branch (raytracer.odin:458-470): the interpolated
+        # tangent4 is normalized as a 4-vector (faithful to the reference,
+        # including the resulting non-orthonormal basis).
+        tri_tan = blk("tan", 12).reshape(ti.shape + (3, 4))
+        tan4 = (
+            tri_tan[..., 0, :] * w0 + tri_tan[..., 1, :] * w1
+            + tri_tan[..., 2, :] * w2
+        )
+        tan4 = tan4 / jnp.maximum(
+            jnp.sqrt(jnp.sum(tan4 * tan4, axis=-1, keepdims=True)), 1e-20
+        )
+        local_x = tan4[..., :3]
+        local_z = n_smooth
+        local_y = jnp.cross(local_z, local_x) * tan4[..., 3:4]
+        nrm_sample = texture.sample(
+            scene, mtex[..., 3], texcoords, default=(0.5, 1.0, 0.5, 0.0)
+        )[..., :3]
+        local_n = nrm_sample * 2.0 - 1.0
+        n_mapped = normalize(
+            local_x * local_n[..., 0:1]
+            + local_y * local_n[..., 1:2]
+            + local_z * local_n[..., 2:3],
+            eps=1e-20,
+        )
+        has_nmap = mtex[..., 3] >= 0
+        normal = jnp.where(has_nmap[..., None], n_mapped, n_smooth)
+    else:
+        normal = n_smooth
 
-    ng = row[..., SR_NG:SR_NG + 3]
+    ng = blk("ng", 3)
     inside = dot(ng, d) > 0
 
     return {
@@ -144,12 +155,10 @@ def _point_material(scene, d, tri_idx, bu, bv):
         "ng": ng,
         "inside": inside,
         "texcoords": texcoords,
-        "color": row[..., SR_COLOR:SR_COLOR + 3] * col_tex[..., :3],
-        "emission": row[..., SR_EMISSION:SR_EMISSION + 3] * emi_tex[..., :3],
-        "roughness": jnp.maximum(
-            row[..., SR_ROUGHNESS] * mr[..., 1], 0.03
-        ),
-        "metallic": row[..., SR_METALLIC] * mr[..., 2],
+        "color": blk("color", 3) * col_tex[..., :3],
+        "emission": blk("emission", 3) * emi_tex[..., :3],
+        "roughness": jnp.maximum(blk("roughness", 1)[..., 0] * mr[..., 1], 0.03),
+        "metallic": blk("metallic", 1)[..., 0] * mr[..., 2],
     }
 
 
@@ -164,7 +173,7 @@ def lane_uniforms(key, stream_ids, n: int):
     return draws.reshape(stream_ids.shape + (n,))
 
 
-def eval_bounce(scene, d, tri_idx, bu, bv, uniforms, opts: TraceOptions,
+def eval_bounce(scene, o, d, t, tri_idx, bu, bv, uniforms, opts: TraceOptions,
                 has_lights: bool):
     """Shared per-vertex shading logic (used by the batched trace and the
     persistent wavefront pool): material evaluation, mixture sampling, pdf,
@@ -173,7 +182,7 @@ def eval_bounce(scene, d, tri_idx, bu, bv, uniforms, opts: TraceOptions,
     Returns dict: hit_valid-independent fields are garbage on misses and
     must be masked by the caller (`hit`).
     """
-    m = _point_material(scene, d, tri_idx, bu, bv)
+    m = _point_material(scene, o, d, t, tri_idx, bu, bv)
     flip = m["inside"][..., None]
     normal = jnp.where(flip, -m["normal"], m["normal"])
 
@@ -250,7 +259,8 @@ def trace(scene, o, d, skey, opts: TraceOptions, stream_ids=None):
         key = jax.random.fold_in(skey, b)
         uniforms = lane_uniforms(key, stream_ids, 6)
 
-        ev = eval_bounce(scene, d, tri_idx, bu, bv, uniforms, opts, has_lights)
+        ev = eval_bounce(scene, o, d, t, tri_idx, bu, bv, uniforms, opts,
+                         has_lights)
         m = ev["material"]
         normal = ev["normal"]
         pdf = ev["pdf"]

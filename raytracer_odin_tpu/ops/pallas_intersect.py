@@ -117,30 +117,6 @@ def _finish(out_ref, best_t, best_u, best_v, best_i):
     )
 
 
-def _ray_aabb_prune(ox, oy, oz, ivx, ivy, ivz, lo0, lo1, lo2, hi0, hi1, hi2,
-                    best_t):
-    """Per-ray slab test of one cluster AABB (scalars) against the bundle
-    ((1, RB) vectors). Returns scalar: does ANY ray enter the box closer
-    than its current best hit? Gates the 64-triangle block."""
-    def axis(lo, hi, o, iv):
-        t1 = (lo - o) * iv
-        t2 = (hi - o) * iv
-        tmin = jnp.minimum(t1, t2)
-        tmax = jnp.maximum(t1, t2)
-        # 0 * inf NaN (ray on slab boundary): unconstrained axis
-        tmin = jnp.where(jnp.isnan(tmin), -BIG, tmin)
-        tmax = jnp.where(jnp.isnan(tmax), BIG, tmax)
-        return tmin, tmax
-
-    nx, xx = axis(lo0, hi0, ox, ivx)
-    ny, xy = axis(lo1, hi1, oy, ivy)
-    nz, xz = axis(lo2, hi2, oz, ivz)
-    near = jnp.maximum(jnp.maximum(nx, ny), nz)
-    far = jnp.minimum(jnp.minimum(xx, xy), xz)
-    ok = (near <= far) & (far >= 0) & (jnp.maximum(near, 0.0) < best_t)
-    return jnp.any(ok)
-
-
 def _brute_kernel(rays_ref, tris_ref, out_ref, *, n_clusters: int):
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
@@ -167,15 +143,20 @@ def _brute_kernel(rays_ref, tris_ref, out_ref, *, n_clusters: int):
     _finish(out_ref, best_t, best_u, best_v, best_i)
 
 
-def _culled_kernel(counts_ref, lists_ref, aabb_ref, rays_ref, tris_ref,
-                   out_ref, best_ref, *, n_clusters: int):
-    """counts/lists/cluster-AABBs arrive via scalar prefetch (SMEM):
-    lists_ref[b, k] is the k-th cluster id for ray block b (nearest-first),
-    k < counts_ref[b]; count == -1 marks list overflow (sweep every
-    cluster). Each cluster's AABB is slab-tested per ray against the
-    current best-t first; the 64-triangle block runs only when some ray can
-    still improve — with nearest-first ordering this is a true early-out.
-    Bests live in the `best_ref` VMEM scratch (rows t, bu, bv, idx)."""
+def _culled_kernel(counts_ref, lists_ref, rays_ref, tris_ref,
+                   out_ref, *, n_clusters: int):
+    """counts/lists arrive via scalar prefetch (SMEM): lists_ref[b, k] is
+    the k-th cluster id for ray block b, k < counts_ref[b]; count == -1
+    marks list overflow (sweep every cluster).
+
+    The sweep is deliberately BRANCH-FREE: every listed cluster is tested
+    unconditionally. A best-t early-out (slab-prune each cluster, skip via
+    pl.when) was measured at ~1.5 us per gated iteration — the scalar core
+    must wait on a cross-lane vector reduce before it can branch, stalling
+    the pipeline — while an unconditional 64-triangle cluster test is pure
+    pipelined VPU work (~0.3 us at RB=512). The exact per-ray masks
+    (cluster_masks) already make the lists tight, so dense-sweeping them is
+    strictly faster than pruning them."""
     b = pl.program_id(0)
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
@@ -183,49 +164,31 @@ def _culled_kernel(counts_ref, lists_ref, aabb_ref, rays_ref, tris_ref,
     dx = rays_ref[3:4, :]
     dy = rays_ref[4:5, :]
     dz = rays_ref[5:6, :]
-    ivx = 1.0 / dx
-    ivy = 1.0 / dy
-    ivz = 1.0 / dz
-
-    best_ref[0:1, :] = jnp.full((1, RB), BIG, jnp.float32)
-    best_ref[1:3, :] = jnp.zeros((2, RB), jnp.float32)
-    best_ref[3:4, :] = jnp.full((1, RB), -1.0, jnp.float32)
-    best_ref[4:8, :] = jnp.zeros((4, RB), jnp.float32)
 
     count = counts_ref[b]
     overflow = count < 0
     n = jnp.where(overflow, n_clusters, count)
 
-    def body(k, _):
+    init = (
+        jnp.full((1, RB), BIG, jnp.float32),
+        jnp.zeros((1, RB), jnp.float32),
+        jnp.zeros((1, RB), jnp.float32),
+        jnp.full((1, RB), -1.0, jnp.float32),
+    )
+
+    def body(k, carry):
         cid = jnp.where(
             overflow, k, lists_ref[b, jnp.minimum(k, lists_ref.shape[1] - 1)]
         )
-        prune = _ray_aabb_prune(
-            ox, oy, oz, ivx, ivy, ivz,
-            aabb_ref[cid, 0], aabb_ref[cid, 1], aabb_ref[cid, 2],
-            aabb_ref[cid, 3], aabb_ref[cid, 4], aabb_ref[cid, 5],
-            best_ref[0:1, :],
+        return _cluster_test(
+            tris_ref, cid * LEAF, ox, oy, oz, dx, dy, dz, *carry
         )
 
-        @pl.when(prune)
-        def _():
-            bt, bu, bv, bi = _cluster_test(
-                tris_ref, cid * LEAF, ox, oy, oz, dx, dy, dz,
-                best_ref[0:1, :], best_ref[1:2, :], best_ref[2:3, :],
-                best_ref[3:4, :],
-            )
-            best_ref[0:1, :] = bt
-            best_ref[1:2, :] = bu
-            best_ref[2:3, :] = bv
-            best_ref[3:4, :] = bi
-
-        return 0
-
-    jax.lax.fori_loop(0, n, body, 0)
-    out_ref[:] = best_ref[:]
+    best_t, best_u, best_v, best_i = jax.lax.fori_loop(0, n, body, init)
+    _finish(out_ref, best_t, best_u, best_v, best_i)
 
 
-def _culled_stream_kernel(counts_ref, lists_ref, aabb_ref, rays_ref, tris_hbm,
+def _culled_stream_kernel(counts_ref, lists_ref, rays_ref, tris_hbm,
                           out_ref, scratch_ref, sem_ref, *, n_clusters: int):
     """Streaming variant for scenes too large for VMEM residency: the
     triangle array stays in HBM; each cluster's LEAF rows are DMA'd into a
@@ -340,15 +303,16 @@ def _mask_kernel(rays_ref, aabb_ref, out_ref, *, n_words: int):
         )
 
 
-def cluster_masks(aabb8, o, d):
-    """Bit-packed exact per-ray cluster masks via the Pallas kernel.
+def cluster_masks_packed(aabb8, o, d):
+    """Bit-packed exact per-ray cluster masks via the Pallas kernel, in the
+    kernel-native row-major layout.
 
     aabb8: [C_pad, 8] f32 (C_pad % 32 == 0; cols lo.xyz, hi.xyz, 2 pad,
-    padding rows (BIG, -BIG)). o, d: [N, 3]. Returns [N, W] int32,
-    W = C_pad // 32 (<= 8).
+    padding rows (BIG, -BIG)). o, d: [N, 3] (flat). Returns
+    ([W, Npad] int32, n) with W = C_pad // 32 (<= 8); lanes >= n are zero.
     """
     n_words = aabb8.shape[0] // 32
-    rays, batch_shape, n = pack_rays(o, d)
+    rays, _batch_shape, n = pack_rays(o, d)
     npad = rays.shape[1]
     out = pl.pallas_call(
         functools.partial(_mask_kernel, n_words=n_words),
@@ -364,7 +328,13 @@ def cluster_masks(aabb8, o, d):
         out_shape=jax.ShapeDtypeStruct((8, npad), jnp.int32),
         interpret=_interpret(),
     )(rays, aabb8)
-    return out[:n_words, :n].T
+    return out[:n_words], n
+
+
+def cluster_masks(aabb8, o, d):
+    """Lane-major [N, W] view of cluster_masks_packed (sort keys, tests)."""
+    packed, n = cluster_masks_packed(aabb8, o.reshape(-1, 3), d.reshape(-1, 3))
+    return packed[:, :n].T
 
 
 # ---------------------------------------------------------------------------
@@ -456,7 +426,7 @@ def _stream_threshold() -> int:
     return int(os.environ.get("RT_TPU_STREAM_TRIS", VMEM_RESIDENT_TRIS))
 
 
-def _culled_call(counts, lists, aabbs, rays, tris):
+def _culled_call(counts, lists, rays, tris):
     npad = rays.shape[1]
     n_clusters = tris.shape[0] // LEAF
     stream = tris.shape[0] > _stream_threshold()
@@ -464,7 +434,7 @@ def _culled_call(counts, lists, aabbs, rays, tris):
         memory_space=pltpu.ANY if stream else pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(npad // RB,),
         in_specs=[
             # index maps receive (grid idx, *scalar_prefetch_refs)
@@ -480,7 +450,7 @@ def _culled_call(counts, lists, aabbs, rays, tris):
                 pltpu.SemaphoreType.DMA((2,)),
             ]
             if stream
-            else [pltpu.VMEM((8, RB), jnp.float32)]
+            else []
         ),
     )
     kernel = (
@@ -493,7 +463,7 @@ def _culled_call(counts, lists, aabbs, rays, tris):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, npad), jnp.float32),
         interpret=_interpret(),
-    )(counts, lists, aabbs, rays, tris)
+    )(counts, lists, rays, tris)
 
 
 # Scalar-prefetch arrays live in SMEM (~1 MB); bound the per-call block
@@ -501,20 +471,18 @@ def _culled_call(counts, lists, aabbs, rays, tris):
 SMEM_BUDGET_BYTES = 700_000
 
 
-def intersect_culled(scene_tris, counts, lists, aabbs, o, d):
+def intersect_culled(scene_tris, counts, lists, o, d):
     """Nearest hit testing only the per-block cluster lists (ops/culling.py).
 
-    counts: [NB] i32; lists: [NB, C] i32 (entries beyond counts ignored);
-    aabbs: [C, 6] f32 cluster AABBs (lo, hi) for the in-kernel prune.
+    counts: [NB] i32; lists: [NB, C] i32 (entries beyond counts ignored).
     """
     rays, batch_shape, n = pack_rays(o, d)
     npad = rays.shape[1]
     nb = npad // RB
     c = lists.shape[1]
-    budget = SMEM_BUDGET_BYTES - aabbs.size * 4
-    max_blocks = max(64, budget // (4 * (c + 1)))
+    max_blocks = max(64, SMEM_BUDGET_BYTES // (4 * (c + 1)))
     if nb <= max_blocks:
-        out = _culled_call(counts, lists, aabbs, rays, scene_tris)
+        out = _culled_call(counts, lists, rays, scene_tris)
     else:
         n_chunks = -(-nb // max_blocks)
         per = -(-nb // n_chunks)  # balanced chunk size
@@ -523,7 +491,7 @@ def intersect_culled(scene_tris, counts, lists, aabbs, o, d):
             e = min(nb, s + per)
             pieces.append(
                 _culled_call(
-                    counts[s:e], lists[s:e], aabbs,
+                    counts[s:e], lists[s:e],
                     jax.lax.slice_in_dim(rays, s * RB, e * RB, axis=1),
                     scene_tris,
                 )

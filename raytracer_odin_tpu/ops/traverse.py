@@ -234,9 +234,9 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
         iota = jnp.arange(n_rays, dtype=jnp.int32)
         if exact:
             # Exact grouping: lexicographic (dead|octant, mask words) —
-            # rays with identical cluster work lists land in the same RB
-            # bundle (measured: mean block union 16.3 clusters vs 40.4
-            # under the interval cull, p50 = 6 vs per-ray exact 4.2).
+            # rays with identical cluster work lists land in the same
+            # bundle (measured on demo secondary bounces: mean RBM=128
+            # block union 26 clusters vs 33 at 512 and 58 unsorted).
             words = pi.cluster_masks(aabb8, o2, d2)
             octant = _ray_octant(d2)
             k0 = ((~alive_f).astype(jnp.int32) << 4) | octant
@@ -247,7 +247,7 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
                          d2[:, 0], d2[:, 1], d2[:, 2], iota]),
                 num_keys=1 + len(w_ops),
             )
-            exact_words = jnp.stack(sorted_ops[1:1 + len(w_ops)], axis=-1)
+            exact_words = jnp.stack(sorted_ops[1:1 + len(w_ops)], axis=0)
             (ox, oy, oz, dx, dy, dz, perm) = sorted_ops[1 + len(w_ops):]
         else:
             keys = culling.coherence_keys(
@@ -272,32 +272,40 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
             o2 = o.reshape(-1, 3)
             d2 = d.reshape(-1, 3)
         if exact:
-            exact_words = pi.cluster_masks(aabb8, o2, d2)
+            exact_words, _ = pi.cluster_masks_packed(aabb8, o2, d2)
 
-    if culled:
+    if culled and exact:
+        # Exact per-block lists: OR-union of the block's per-ray masks.
+        # No interval cull, no nearest-first ordering — the kernel sweeps
+        # its list branch-free, so visit order is irrelevant.
+        n = o2.shape[0]
+        npad = ((n + pi.RB - 1) // pi.RB) * pi.RB
+        w_p = exact_words
+        if w_p.shape[1] != npad:
+            w_p = jnp.pad(w_p, ((0, 0), (0, npad - w_p.shape[1])))
+        mask = culling.unpack_mask(culling.or_blocks_packed(w_p), n_clusters)
+        counts, lists = culling.build_lists(mask, cap=192)
+        t, idx, bu, bv = pi.intersect_culled(
+            scene.ptri, counts, lists, o2, d2
+        )
+    elif culled:
         n = o2.shape[0]
         npad = ((n + pi.RB - 1) // pi.RB) * pi.RB
         o_p = jnp.pad(o2, ((0, npad - n), (0, 0)), constant_values=BIG)
         d_p = jnp.pad(d2, ((0, npad - n), (0, 0)))
         o_lo, o_hi, d_lo, d_hi = culling.block_bounds(o_p, d_p)
-        # Interval pass still supplies `near` for nearest-first ordering
-        # (cheap: [NB, C]); the hit mask itself is the exact OR-union of
-        # the block's per-ray masks when available.
-        imask, near = culling.cull_clusters(
+        # Conservative bundle-interval cull for scenes whose mask exceeds
+        # the exact-path word budget; `near` orders lists nearest-first
+        # (harmless now that the kernel has no early-out).
+        mask, near = culling.cull_clusters(
             o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
         )
-        if exact_words is not None:
-            w_p = jnp.pad(exact_words, ((0, npad - n), (0, 0)))
-            mask = culling.unpack_mask(culling.or_blocks(w_p), n_clusters)
-        else:
-            mask = imask
-        # Nearest-first lists (kernel early-out); capped length to bound
-        # SMEM — rare overflow blocks sweep all clusters inside the kernel
+        # Capped list length bounds the SMEM footprint of scalar prefetch —
+        # rare overflow blocks sweep all clusters inside the kernel
         # (correct, just unculled).
         counts, lists = culling.build_lists(mask, cap=192, near=near)
-        aabbs = jnp.concatenate([scene.cluster_lo, scene.cluster_hi], axis=-1)
         t, idx, bu, bv = pi.intersect_culled(
-            scene.ptri, counts, lists, aabbs, o2, d2
+            scene.ptri, counts, lists, o2, d2
         )
     else:
         t, idx, bu, bv = pi.intersect_brute(scene.ptri, o2, d2)

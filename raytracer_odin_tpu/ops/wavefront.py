@@ -154,7 +154,8 @@ def render_pool_step(scene, pstats: PoolStats, base_key, sample_start,
         uniforms = _lane_uniforms(
             base_key, sample_start + lane_sample, lane_bounce, lane_pixel, 6
         )
-        ev = eval_bounce(scene, d, tri_idx, bu, bv, uniforms, opts, has_lights)
+        ev = eval_bounce(scene, o, d, t, tri_idx, bu, bv, uniforms, opts,
+                         has_lights)
         radiance = radiance + jnp.where(
             hit[:, None], throughput * ev["material"]["emission"], 0.0
         )

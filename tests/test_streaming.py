@@ -41,8 +41,7 @@ def test_list_cap_overflow_is_correct():
     counts, lists = culling.build_lists(mask, cap=2, near=near)
     assert (np.asarray(counts) == -1).any(), "test setup should overflow"
     import jax.numpy as _jnp
-    aabbs = _jnp.concatenate([scene.cluster_lo, scene.cluster_hi], axis=-1)
-    t, idx, bu, bv = pi.intersect_culled(scene.ptri, counts, lists, aabbs, oo, d)
+    t, idx, bu, bv = pi.intersect_culled(scene.ptri, counts, lists, oo, d)
     t = jnp.where(idx >= 0, t + RAY_EPS, BIG)
     assert np.array_equal(np.asarray(ib) >= 0, np.asarray(idx) >= 0)
     hit = np.asarray(ib) >= 0
