@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from raytracer_odin_tpu.ops import shading, texture, traverse
+from raytracer_odin_tpu.utils import prng
 from raytracer_odin_tpu.utils.math3d import dot, norm_l1, normalize
 
 
@@ -162,15 +163,12 @@ def _point_material(scene, o, d, t, tri_idx, bu, bv):
     }
 
 
-def lane_uniforms(key, stream_ids, n: int):
-    """Counter-based per-lane uniforms: lane with stream id s draws
-    uniform(fold_in(key, s), (n,)). Invariant under any batching/sharding of
-    the lanes — the TPU analogue of the reference's per-task reseeding
-    (raytracer.odin:552), at per-pixel granularity."""
-    flat = stream_ids.reshape(-1)
-    keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(flat)
-    draws = jax.vmap(lambda k: jax.random.uniform(k, (n,), jnp.float32))(keys)
-    return draws.reshape(stream_ids.shape + (n,))
+# Counter-based per-lane uniforms: pure functions of (base key, sample,
+# tag, stream id, draw index), so renders are invariant under any batching
+# or sharding of the lanes — the TPU analogue of the reference's per-task
+# reseeding (raytracer.odin:552), at per-pixel granularity. The per-lane
+# draw is the PCG4D hash; see utils/prng.py.
+lane_uniforms = prng.uniforms
 
 
 def eval_bounce(scene, o, d, t, tri_idx, bu, bv, uniforms, opts: TraceOptions,
@@ -208,13 +206,17 @@ def eval_bounce(scene, o, d, t, tri_idx, bu, bv, uniforms, opts: TraceOptions,
     }
 
 
-def trace(scene, o, d, skey, opts: TraceOptions, stream_ids=None):
+def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None):
     """Trace radiance for a batch of rays.
 
     Args:
       scene: DeviceScene.
       o, d: [..., 3] ray origins/directions (d normalized).
-      skey: PRNG key for this sample batch.
+      rng: (base_key, sample) — the scalar base PRNG key and this batch's
+        sample index (traced i32 ok). Draw addressing is
+        prng.uniforms(base_key, sample, bounce, stream_id), shared
+        verbatim with the wavefront pool so both paths consume identical
+        sample sets.
       opts: static trace options.
       stream_ids: [...] int32 unique per-lane stream ids (e.g. the global
         pixel index). Defaults to the flattened lane position.
@@ -256,8 +258,8 @@ def trace(scene, o, d, skey, opts: TraceOptions, stream_ids=None):
                 missed[..., None], throughput * env, 0.0
             )
 
-        key = jax.random.fold_in(skey, b)
-        uniforms = lane_uniforms(key, stream_ids, 6)
+        base_key, sample = rng
+        uniforms = prng.uniforms(base_key, sample, b, stream_ids, 6)
 
         ev = eval_bounce(scene, o, d, t, tri_idx, bu, bv, uniforms, opts,
                          has_lights)

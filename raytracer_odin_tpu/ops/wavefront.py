@@ -32,24 +32,15 @@ import jax.numpy as jnp
 
 from raytracer_odin_tpu.ops import texture, traverse
 from raytracer_odin_tpu.ops.integrator import TraceOptions, eval_bounce
+from raytracer_odin_tpu.utils import prng
 from raytracer_odin_tpu.utils.math3d import normalize
 
-JITTER_TAG = 0x7E11  # must match render/runtime.sample_pass
+JITTER_TAG = prng.JITTER_TAG  # shared with render/runtime.sample_pass
 
-
-def _lane_keys(base_key, samples, tags, sids):
-    """Per-lane key chain base -> sample -> tag -> sid (all [P] i32)."""
-    def chain(s, t, u):
-        return jax.random.fold_in(
-            jax.random.fold_in(jax.random.fold_in(base_key, s), t), u
-        )
-
-    return jax.vmap(chain)(samples, tags, sids)
-
-
-def _lane_uniforms(base_key, samples, tags, sids, n: int):
-    keys = _lane_keys(base_key, samples, tags, sids)
-    return jax.vmap(lambda k: jax.random.uniform(k, (n,), jnp.float32))(keys)
+# Per-lane uniforms addressed by (sample, tag, stream id) counters — the
+# same prng.uniforms the batched integrator uses, which is what makes the
+# pool consume bit-identical sample sets.
+_lane_uniforms = prng.uniforms
 
 
 def _camera_rays(cam_pos, cam_basis, fov_x, width, height, pixel, jitter):

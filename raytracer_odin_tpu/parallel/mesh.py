@@ -14,7 +14,7 @@ equivalent (SURVEY.md sections 2/5): a 2D device mesh
   indices, and the additive accumulator fields are merged with one `psum`
   per step — the only collective in the renderer, riding ICI.
 
-Per-pixel counter-based RNG streams (ops/integrator.lane_uniforms) make the
+Per-pixel counter-based RNG streams (utils/prng.uniforms) make the
 sharded result bit-identical to the single-chip render for any mesh shape.
 Host<->device traffic is scene upload once + framebuffer readback per
 snapshot, never per step.
@@ -120,9 +120,8 @@ def make_sharded_render_step(cfg: RenderConfig, fov_x: float, mesh: Mesh,
         def one(carry, k):
             total, total_sq, first, last, rays = carry
             sample_idx = sample_start + spp_idx * s_local + k
-            skey = jax.random.fold_in(base_key, sample_idx)
             radiance, aux = sample_pass(
-                scene, skey, fov_x, W, H, opts,
+                scene, base_key, sample_idx, fov_x, W, H, opts,
                 row_offset=row_offset, n_rows=h_local,
             )
             vals = sample_layer_values(radiance, aux, cfg.debug_features)

@@ -117,10 +117,9 @@ def trace_pixel_paths_device(dscene, width, height, fov_x, depth, px, py,
     import jax
     import jax.numpy as jnp
 
-    from raytracer_odin_tpu.ops.integrator import (
-        TraceOptions, lane_uniforms, trace,
-    )
+    from raytracer_odin_tpu.ops.integrator import TraceOptions, trace
     from raytracer_odin_tpu.render.runtime import generate_rays
+    from raytracer_odin_tpu.utils import prng
 
     row = height - 1 - py  # image row of this reference pixel
     sid = jnp.asarray([row * width + px], jnp.int32)
@@ -128,8 +127,8 @@ def trace_pixel_paths_device(dscene, width, height, fov_x, depth, px, py,
                         want_aux=False, log_paths=True)
 
     @jax.jit
-    def one_sample(scene, skey):
-        jitter = lane_uniforms(jax.random.fold_in(skey, 0x7E11), sid, 2)
+    def one_sample(scene, base_key, s):
+        jitter = prng.uniforms(base_key, s, prng.JITTER_TAG, sid, 2)
         o, d = generate_rays(
             scene.cam_pos, scene.cam_basis, fov_x, width, height,
             jitter[:, None, :], row_offset=row, n_rows=1,
@@ -137,14 +136,13 @@ def trace_pixel_paths_device(dscene, width, height, fov_x, depth, px, py,
         # generate_rays builds a [1, W]-style grid row; we want one column.
         o = o[:, px if o.shape[1] > 1 else 0]
         d = d[:, px if d.shape[1] > 1 else 0]
-        _, aux = trace(scene, o, d, skey, opts, stream_ids=sid)
+        _, aux = trace(scene, o, d, (base_key, s), opts, stream_ids=sid)
         return aux["ray_log"]
 
     base_key = jax.random.PRNGKey(seed)
     segments: list[RaySegment] = []
     for s in range(samples):
-        skey = jax.random.fold_in(base_key, s)
-        log = jax.device_get(one_sample(dscene, skey))
+        log = jax.device_get(one_sample(dscene, base_key, jnp.int32(s)))
         for b in range(depth):
             if not bool(log["alive"][b, 0]):
                 break

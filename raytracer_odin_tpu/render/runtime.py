@@ -95,12 +95,14 @@ def generate_rays(cam_pos, cam_basis, fov_x: float, width: int, height: int,
     return o, d
 
 
-def sample_pass(scene, skey, fov_x: float, width: int, height: int,
-                opts: TraceOptions, row_offset=0, n_rows: int | None = None):
+def sample_pass(scene, base_key, sample, fov_x: float, width: int,
+                height: int, opts: TraceOptions, row_offset=0,
+                n_rows: int | None = None):
     """One full sample for rows [row_offset, row_offset + n_rows): jittered
-    ray-gen + wavefront trace. Per-pixel counter-based streams make the
-    result independent of how rows are sharded across chips."""
-    from raytracer_odin_tpu.ops.integrator import lane_uniforms
+    ray-gen + wavefront trace. Per-pixel counter-based streams
+    (prng.uniforms under `base_key`, addressed by this `sample` index) make
+    the result independent of how rows are sharded across chips."""
+    from raytracer_odin_tpu.utils import prng
 
     if n_rows is None:
         n_rows = height
@@ -108,12 +110,12 @@ def sample_pass(scene, skey, fov_x: float, width: int, height: int,
     cols = jnp.arange(width, dtype=jnp.int32)[None, :]
     stream_ids = rows * width + cols
 
-    jitter = lane_uniforms(jax.random.fold_in(skey, 0x7E11), stream_ids, 2)
+    jitter = prng.uniforms(base_key, sample, prng.JITTER_TAG, stream_ids, 2)
     o, d = generate_rays(
         scene.cam_pos, scene.cam_basis, fov_x, width, height, jitter,
         row_offset=row_offset, n_rows=n_rows,
     )
-    return trace(scene, o, d, skey, opts, stream_ids=stream_ids)
+    return trace(scene, o, d, (base_key, sample), opts, stream_ids=stream_ids)
 
 
 # ---------------------------------------------------------------------------
@@ -165,8 +167,8 @@ def make_render_step(cfg: RenderConfig, fov_x: float) -> Callable:
 
     def one_sample(carry, sample_idx):
         scene, stats, rays, base_key = carry
-        skey = jax.random.fold_in(base_key, sample_idx)
-        radiance, aux = sample_pass(scene, skey, fov_x, W, H, opts)
+        radiance, aux = sample_pass(scene, base_key, sample_idx, fov_x, W, H,
+                                    opts)
         vals = sample_layer_values(radiance, aux, cfg.debug_features)
         stats = accum.update_layers(stats, vals)
         return (scene, stats, rays + aux["rays_cast"], base_key), None

@@ -46,7 +46,7 @@ def fire(scene, o, d, depth=2, seed=0, **kw):
         scene,
         jnp.asarray(o, jnp.float32),
         jnp.asarray(d, jnp.float32),
-        jax.random.PRNGKey(seed),
+        (jax.random.PRNGKey(seed), 0),
         opts,
     )
     return np.asarray(rad), aux

@@ -93,9 +93,9 @@ def test_device_ray_log_matches_render(cube_scene):
     host, scene = cube_scene
     W = H = 16
     opts = TraceOptions(depth=3, want_aux=True)
-    key = jax.random.fold_in(jax.random.PRNGKey(0), 0)  # sample 0 key
-    _, aux = jax.jit(
-        lambda s, k: runtime.sample_pass(s, k, host.cam.fov_x, W, H, opts)
+    key = jax.random.PRNGKey(0)
+    _, aux = jax.jit(  # sample 0
+        lambda s, k: runtime.sample_pass(s, k, 0, host.cam.fov_x, W, H, opts)
     )(scene, key)
 
     px, py = 8, 9  # reference pixel coords (y up)
