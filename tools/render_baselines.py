@@ -36,13 +36,20 @@ def main():
     scene_dir = "/tmp/baseline_scenes"
 
     configs = [
-        # (name, scene, W, H, depth, spp)
+        # (name, scene, W, H, depth, spp); spp None = continuous mode with
+        # a convergence stop (BASELINE config 5: "continuous-accumulation
+        # mode to convergence"), bounded by MAX_CONTINUOUS_SPP.
         ("cfg1_cube", "cube", 256, 256, 2, 16),
         ("cfg2_cornell", "cornell", 512, 512, 6, 64),
-        ("cfg3_textured", "textured", 800, 608, 8, 128),
+        ("cfg3_textured", "textured", 800, 600, 8, 128),
         ("cfg4_envmap", "envmap", 1024, 768, 8, 256),
-        ("cfg5_demo_1080p", "demo", 1920, 1080, 8, 256),
+        ("cfg5_demo_1080p", "demo", 1920, 1080, 8, None),
     ]
+    # Convergence: stop when the mean per-pixel standard error of the
+    # beauty mean drops below this (the variance layer the reference only
+    # visualizes, consumed as a stopping rule).
+    CONVERGE_SE = 4e-3
+    MAX_CONTINUOUS_SPP = 4096
 
     for name, scene_name, W, H, depth, spp in configs:
         info = assets.generate(scene_name, scene_dir)
@@ -53,17 +60,39 @@ def main():
             env = HostTexture(li.data, li.is_hdr)
         scene = build.finish_scene(host, env_map=env)
         fov_x = host.cam.fov_x * (W / H)
-        spp_step = min(spp, 8)
-        while spp % spp_step:
+        continuous = spp is None
+        spp_step = 8 if continuous else min(spp, 8)
+        while not continuous and spp % spp_step:
             spp_step -= 1
         cfg = RenderConfig(
-            width=W, height=H, ray_depth=depth, samples=spp,
+            width=W, height=H, ray_depth=depth,
+            samples=0 if continuous else spp, continuous=continuous,
             samples_per_step=spp_step, debug_features=False,
             intersector="pallas",
         )
+
+        class SppCap:
+            """Truthy once the continuous render hits the spp bound."""
+            hit = False
+
+            def __bool__(self):
+                return self.hit
+
+        cap = SppCap()
+
+        def on_step(_stats, samples_done):
+            cap.hit = samples_done >= MAX_CONTINUOUS_SPP
+
         t0 = time.perf_counter()
-        res = runtime.render_scene(scene, cfg, fov_x)
+        res = runtime.render_scene(
+            scene, cfg, fov_x,
+            converge_se=CONVERGE_SE if continuous else 0.0,
+            interrupt=cap if continuous else None,
+            on_step=on_step if continuous else None,
+            verbose=continuous,
+        )
         dt = time.perf_counter() - t0
+        spp_done = res.samples_done
         img = output.layer_to_rgb(res.stats, 0, "mean")
         writers.save_image(OUT / f"{name}.png", img)
 
@@ -71,10 +100,14 @@ def main():
             "config": name,
             "resolution": f"{W}x{H}",
             "depth": depth,
-            "spp": spp,
+            "spp": spp_done,
             "seconds": round(dt, 2),
-            "spp_per_s": round(spp / dt, 3),
+            "spp_per_s": round(spp_done / dt, 3),
         }
+        if continuous:
+            report["mode"] = "continuous"
+            report["converge_se"] = CONVERGE_SE
+            report["converged"] = not cap.hit
         if name == "cfg1_cube":
             # RMSE vs the identical-algorithm CPU render at equal spp/seed
             # (TPU-vs-CPU numerical parity: the BASELINE accuracy metric).
