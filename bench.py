@@ -81,6 +81,64 @@ def _measure() -> None:
     }))
 
 
+def _measure_mesh(n_devices: int, n_spp: int) -> None:
+    """Sharded render over an n_devices virtual CPU mesh: per-device load
+    balance + steps/s. Real multi-chip hardware is not reachable from this
+    host (the driver's dryrun covers compile+execute); virtual devices
+    share one core, so wall-clock here is NOT a scaling claim — the
+    recorded table is about sharding correctness and balance."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_odin_tpu.config import RenderConfig
+    from raytracer_odin_tpu.io import gltf
+    from raytracer_odin_tpu.models import assets, build
+    from raytracer_odin_tpu.parallel import mesh as pmesh
+    from raytracer_odin_tpu.render import accum
+
+    w, h, depth = 192, 108, 4
+    info = assets.generate("demo", SCENE_DIR)
+    host = gltf.read_gltf(info["gltf"])
+    scene = build.finish_scene(host)
+    fov_x = host.cam.fov_x * (w / h)
+
+    n_tile = n_devices // n_spp
+    m = pmesh.make_mesh(n_tile=n_tile, n_spp=n_spp)
+    cfg = RenderConfig(
+        width=w, height=h, ray_depth=depth, samples=1 << 30,
+        samples_per_step=n_spp, debug_features=False, intersector="auto",
+    )
+    step = pmesh.make_sharded_render_step(cfg, fov_x, m, scene)
+    scene = pmesh.replicate_scene(scene, m)
+    h_pad = pmesh.padded_height(h, n_tile)
+    stats = pmesh.shard_stats(accum.init_stats(1, h_pad, w), m)
+    key = jax.random.PRNGKey(0)
+
+    stats, rays = step(scene, stats, key, jnp.int32(0))
+    jax.block_until_ready(stats.count)  # compile+warmup
+    t0 = time.perf_counter()
+    n_steps = 3
+    for i in range(n_steps):
+        stats, step_rays = step(scene, stats, key, jnp.int32(n_spp * (1 + i)))
+        rays = rays + step_rays
+    jax.block_until_ready(stats.count)
+    dt = time.perf_counter() - t0
+
+    rows_per_dev = h_pad // n_tile
+    print(json.dumps({
+        "metric": "virtual-mesh sharded render (load-balance dryrun)",
+        "devices": n_devices,
+        "mesh": f"{n_tile}x{n_spp} (tile x spp)",
+        "resolution": f"{w}x{h}",
+        "rows_per_device": rows_per_dev,
+        "padded_rows": h_pad - h,
+        "rays_per_step": int(rays) // (n_steps + 1),
+        "seconds_per_step": round(dt / n_steps, 3),
+        "note": "virtual CPU devices share one core; wall-clock is not a "
+                "scaling claim",
+    }))
+
+
 def main() -> int:
     attempts = 3
     for k in range(attempts):
@@ -101,8 +159,39 @@ def main() -> int:
     return 1
 
 
+def _mesh_main(n_devices: int, n_spp: int) -> int:
+    """Re-exec with the CPU platform forced before jax initializes."""
+    import os
+
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        JAX_PLATFORM_NAME="cpu",
+        XLA_FLAGS=(
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n_devices}"
+        ),
+    )
+    proc = subprocess.run(
+        [sys.executable, __file__, "--mesh-child",
+         str(n_devices), str(n_spp)],
+        env=env, text=True, timeout=2400,
+    )
+    return proc.returncode
+
+
 if __name__ == "__main__":
     if "--child" in sys.argv:
         _measure()
+    elif "--mesh-child" in sys.argv:
+        i = sys.argv.index("--mesh-child")
+        _measure_mesh(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+    elif "--devices" in sys.argv:
+        i = sys.argv.index("--devices")
+        nd = int(sys.argv[i + 1])
+        ns = 1
+        if "--spp-devices" in sys.argv:
+            ns = int(sys.argv[sys.argv.index("--spp-devices") + 1])
+        sys.exit(_mesh_main(nd, ns))
     else:
         sys.exit(main())

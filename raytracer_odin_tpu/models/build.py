@@ -136,6 +136,11 @@ def finish_scene(host: HostScene, env_map: HostTexture | None = None,
     row_spec = tuple(row_spec)
     spec = dict(row_spec)
 
+    # Everything a hit needs rides ONE f32 row: TPU gathers pay a large
+    # per-gather cost, so consolidation wins — splitting corner uvs into a
+    # second gather of the same index measured 526 vs 402 ms/step on the
+    # 1080p demo, and f16/bf16 rows measured 516 (gathers move 32-bit
+    # lanes; narrow dtypes decompose instead of halving traffic).
     shade_row = np.zeros((n_tri, row_width), np.float32)
     if n_tri:
         def put(name, data):
@@ -172,6 +177,8 @@ def finish_scene(host: HostScene, env_map: HostTexture | None = None,
         mat_metallic=f32(mat_metallic),
         mat_roughness=f32(mat_roughness),
         mat_tex=i32(mat_tex),
+        # f32 texels: bf16 pages were measured slower (TPU gathers move
+        # 32-bit lanes; see the shade_row note above).
         tex_texels=f32(atlas["tex_texels"]),
         tex_offset=i32(atlas["tex_offset"]),
         tex_width=i32(atlas["tex_width"]),

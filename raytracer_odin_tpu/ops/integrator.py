@@ -90,7 +90,7 @@ def _point_material(scene, o, d, t, tri_idx, bu, bv):
 
     pos = o + d * t[..., None]
 
-    if "tex" in spec:
+    if "texids" in spec:
         tex = blk("tex", 6).reshape(ti.shape + (3, 2))
         texcoords = (
             tex[..., 0, :] * w0 + tex[..., 1, :] * w1 + tex[..., 2, :] * w2

@@ -41,6 +41,32 @@ def _ray_octant(d):
     )
 
 
+def _lex_sort_keys(alive_f, octant, words, n_clusters: int):
+    """Lexicographic coherence-sort keys (dead|octant, mask words).
+
+    TPU lax.sort cost is proportional to the total operand count and
+    indifferent to num_keys (trace-measured ~1.3 ms per 2M-lane column
+    either way), so the one column worth saving is the dead|octant
+    header: when the last mask word has >= 5 free top bits (C % 32 <= 27)
+    the header rides in those bits and the header column disappears. The
+    header sits above every used mask bit, so dead lanes still sort last
+    and per-octant grouping still dominates; the polluted bits lie above
+    bit C-1 and are ignored by culling.unpack_mask.
+
+    Returns (keys, word_slots): sort with num_keys=len(keys); the sorted
+    mask words (original word order, header pollution left in place) are
+    [sorted_cols[i] for i in word_slots]."""
+    used_top = n_clusters - (words.shape[1] - 1) * 32  # bits used in last word
+    hdr = ((~alive_f).astype(jnp.int32) << 3) | octant
+    w_ops = [words[:, i] for i in range(words.shape[1])]
+    if used_top <= 27:
+        w_last = w_ops[-1] | (hdr << used_top)
+        keys = [w_last] + w_ops[:-1]
+        word_slots = list(range(1, len(w_ops))) + [0]
+        return keys, word_slots
+    return [hdr] + w_ops, list(range(1, 1 + len(w_ops)))
+
+
 def cast_rays_brute(scene, o, d, max_t=None, chunk: int = 512):
     """Nearest hit over all triangles, processed in static chunks via
     lax.scan. Returns (t, tri_idx, bu, bv) with tri_idx = -1 on miss and
@@ -235,20 +261,25 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
         if exact:
             # Exact grouping: lexicographic (dead|octant, mask words) —
             # rays with identical cluster work lists land in the same
-            # bundle (measured on demo secondary bounces: mean RBM=128
-            # block union 26 clusters vs 33 at 512 and 58 unsorted).
+            # bundle (measured on demo secondary bounces: mean RB block
+            # union 26.4 clusters vs 89.3 unsorted; approximate single-key
+            # signatures measured 41.8 — the full lex order earns its
+            # keep, and extra key columns are free, see _lex_sort_keys).
             words = pi.cluster_masks(aabb8, o2, d2)
             octant = _ray_octant(d2)
-            k0 = ((~alive_f).astype(jnp.int32) << 4) | octant
-            w_ops = [words[:, i] for i in range(words.shape[1])]
+            keys, word_slots = _lex_sort_keys(
+                alive_f, octant, words, n_clusters
+            )
             sorted_ops = jax.lax.sort(
-                tuple([k0] + w_ops
+                tuple(keys
                       + [o2[:, 0], o2[:, 1], o2[:, 2],
                          d2[:, 0], d2[:, 1], d2[:, 2], iota]),
-                num_keys=1 + len(w_ops),
+                num_keys=len(keys),
             )
-            exact_words = jnp.stack(sorted_ops[1:1 + len(w_ops)], axis=0)
-            (ox, oy, oz, dx, dy, dz, perm) = sorted_ops[1 + len(w_ops):]
+            exact_words = jnp.stack(
+                [sorted_ops[i] for i in word_slots], axis=0
+            )
+            (ox, oy, oz, dx, dy, dz, perm) = sorted_ops[len(keys):]
         else:
             keys = culling.coherence_keys(
                 o2, d2, alive_f, scene_lo, scene_hi

@@ -165,21 +165,20 @@ def make_render_step(cfg: RenderConfig, fov_x: float) -> Callable:
     )
     H, W = cfg.height, cfg.width
 
-    def one_sample(carry, sample_idx):
-        scene, stats, rays, base_key = carry
-        radiance, aux = sample_pass(scene, base_key, sample_idx, fov_x, W, H,
-                                    opts)
-        vals = sample_layer_values(radiance, aux, cfg.debug_features)
-        stats = accum.update_layers(stats, vals)
-        return (scene, stats, rays + aux["rays_cast"], base_key), None
-
     @partial(jax.jit, donate_argnums=(1,))
     def step(scene, stats, base_key, sample_start):
-        (_, stats, rays, _), _ = jax.lax.scan(
-            one_sample,
-            (scene, stats, jnp.zeros((), jnp.int32), base_key),
-            sample_start + jnp.arange(cfg.samples_per_step),
-        )
+        # Unrolled over the (static, small) samples_per_step: a lax.scan
+        # here forces whole-stats carry copies every iteration (~25 MB x 5
+        # fields at 1080p, trace-measured ~25 ms/step); unrolled, the stats
+        # update aliases in place via donation.
+        rays = jnp.zeros((), jnp.int32)
+        for k in range(cfg.samples_per_step):
+            radiance, aux = sample_pass(
+                scene, base_key, sample_start + k, fov_x, W, H, opts
+            )
+            vals = sample_layer_values(radiance, aux, cfg.debug_features)
+            stats = accum.update_layers(stats, vals)
+            rays = rays + aux["rays_cast"]
         return stats, rays
 
     return step
