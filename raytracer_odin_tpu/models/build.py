@@ -21,6 +21,7 @@ from raytracer_odin_tpu.models.scene import (
     HostTexture,
 )
 from raytracer_odin_tpu.ops import bvh as bvh_mod
+from raytracer_odin_tpu.ops import light_cull
 from raytracer_odin_tpu.ops import texture as texture_mod
 from raytracer_odin_tpu.ops.geometry import aabb_of_triangles
 
@@ -45,9 +46,25 @@ def finish_scene(host: HostScene, env_map: HostTexture | None = None,
     light_u = host.u[light_sel]
     light_v = host.v[light_sel]
     light_ng = host.ng[light_sel]
+    # Morton-order the light list so consecutive lights are spatial
+    # neighbours: the basis of the many-light cluster cull
+    # (ops/light_cull.py, the TPU analogue of the reference's light BVH,
+    # shading.odin:62-94). Light order is free to permute — sampling picks
+    # uniformly and the pdf is a sum.
+    order = light_cull.morton_order(
+        light_p + (light_u + light_v) / 3.0
+    )
+    light_p = light_p[order]
+    light_u = light_u[order]
+    light_v = light_v[order]
+    light_ng = light_ng[order]
     cross = np.cross(light_u, light_v)
     area2 = np.linalg.norm(cross, axis=-1)  # |cross| = 2 * area
     light_pdf_factor = 2.0 / np.where(area2 > 0, area2, 1.0)
+    light_rows = light_cull.pack_light_rows(
+        light_p, light_u, light_v, light_ng, light_pdf_factor
+    )
+    lcl_lo, lcl_hi = light_cull.light_cluster_aabbs(light_rows)
 
     # Main BVH (the light "BVH" role — bounding the light-pdf walk — is
     # covered by the chunked brute-force sweep in ops/shading.light_pdf_sum,
@@ -189,6 +206,9 @@ def finish_scene(host: HostScene, env_map: HostTexture | None = None,
         light_ng=f32(light_ng),
         light_pdf_factor=f32(light_pdf_factor),
         light_mask=f32(np.ones(light_p.shape[0], np.float32)),
+        light_rows=f32(light_rows),
+        light_cluster_lo=f32(lcl_lo),
+        light_cluster_hi=f32(lcl_hi),
         ptri=f32(ptri),
         cluster_lo=f32(cl_lo),
         cluster_hi=f32(cl_hi),

@@ -182,6 +182,10 @@ class DeviceScene:
     # Acceleration:
     bvh: DeviceBVH
     light_mask: Any           # [L] 1.0 for real lights, 0 for padding
+    # Many-light cluster cull (ops/light_cull.py; lights Morton-ordered):
+    light_rows: Any           # [Lpad, 16] packed p/u/v/ng/fac/valid rows
+    light_cluster_lo: Any     # [Cl, 3]
+    light_cluster_hi: Any     # [Cl, 3]
     # Pallas intersector data (ops/pallas_intersect.py, ops/culling.py):
     ptri: Any                 # [Tpad, 12] packed p/u/v rows, LEAF-padded
     cluster_lo: Any           # [C, 3] treelet-cluster AABBs

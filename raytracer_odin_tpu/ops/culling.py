@@ -100,6 +100,14 @@ def cull_clusters(o_lo, o_hi, d_lo, d_hi, clo, chi):
     near = jnp.max(entry_lo, axis=-1)
     far = jnp.min(exit_hi, axis=-1)
     hit = (near <= far) & (far >= 0)
+
+    # Axis-parallel bundles (the whole direction interval is exactly zero)
+    # never move on that axis, so the slab constraint reduces to
+    # origin-interval overlap — without this, e.g. straight-down light
+    # bundles over a city cull nothing (every axis straddles).
+    para = (d_lo == 0) & (d_hi == 0)
+    overlap = (o_hi >= clo) & (o_lo <= chi)
+    hit = hit & jnp.all(jnp.where(para, overlap, True), axis=-1)
     return hit, jnp.maximum(near, 0.0)
 
 

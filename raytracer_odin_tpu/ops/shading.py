@@ -243,7 +243,21 @@ def mixture_pdf(scene, mat_pos, mat_normal, mat_roughness, in_d, out_d,
     p_cos = cosine_weighted_pdf(mat_normal, out_d)
     p_vndf = vndf_pdf(mat_normal, -in_d, sq(mat_roughness), out_d)
     if has_lights:
-        p_light = light_pdf_sum(scene, mat_pos, out_d, chunk=light_chunk)
+        import jax as _jax
+
+        from raytracer_odin_tpu.ops import light_cull
+
+        n_lights = int(scene.light_p.shape[0])
+        if (
+            n_lights >= light_cull.threshold()
+            and _jax.default_backend() != "cpu"
+        ):
+            # Many-light scenes: cluster-culled Pallas pdf sum, cost
+            # sublinear in L (ops/light_cull.py) — the TPU analogue of
+            # the reference's light BVH (shading.odin:62-94).
+            p_light = light_cull.light_pdf_sum_culled(scene, mat_pos, out_d)
+        else:
+            p_light = light_pdf_sum(scene, mat_pos, out_d, chunk=light_chunk)
         return (p_cos + p_light + p_vndf) / 3.0
     return (p_cos + p_vndf * 2.0) / 3.0
 

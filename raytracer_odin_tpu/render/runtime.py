@@ -347,13 +347,19 @@ def render_scene(
 
 @jax.jit
 def mean_standard_error(stats: accum.Stats):
-    """Mean per-pixel standard error of the beauty-layer mean: the
+    """MEDIAN per-pixel standard error of the beauty-layer mean: the
     convergence statistic for continuous mode (consumes the variance the
-    reference only visualizes, output.odin:41-44)."""
+    reference only visualizes, output.odin:41-44).
+
+    Median, not mean: one-sample-MIS firefly samples have heavy-tailed
+    (practically unbounded) variance, so the mean SE can JUMP when a
+    firefly lands (observed: 3.0e-2 -> 4.0e-1 at 2.7k spp on the demo
+    scene) and never converges; the median tracks typical-pixel noise and
+    declines ~1/sqrt(n) as a stopping rule should."""
     n = jnp.maximum(stats.count[0], 1.0)[..., None]
     mean = stats.total[0] / n
     var = jnp.maximum(stats.total_sq[0] / n - mean * mean, 0.0)
-    return jnp.mean(jnp.sqrt(var / n))
+    return jnp.median(jnp.sqrt(var / n))
 
 
 def print_perf_summary(timings_s: list) -> None:

@@ -1,0 +1,121 @@
+"""Many-light cluster cull (ops/light_cull.py): parity with the dense
+O(L) pdf sum and sublinear per-block work — the TPU analogue of the
+reference's light BVH (shading.odin:62-94)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raytracer_odin_tpu.models import build
+from raytracer_odin_tpu.models.scene import HostMaterial, HostScene
+from raytracer_odin_tpu.ops import light_cull
+from raytracer_odin_tpu.ops.shading import light_pdf_sum
+
+
+def grid_light_scene(nx=12, nz=12, emissive_every=1):
+    """A floor of small quads; every `emissive_every`-th is a light —
+    a miniature city-at-night lighting layout."""
+    rng = np.random.default_rng(7)
+    ps, us, vs, mats = [], [], [], []
+    materials = [
+        HostMaterial(emission_factor=np.zeros(3, np.float32)),
+        HostMaterial(emission_factor=np.asarray([4.0, 3.0, 2.0], np.float32)),
+    ]
+    k = 0
+    for ix in range(nx):
+        for iz in range(nz):
+            x, z = ix * 2.0, iz * 2.0
+            y = float(rng.uniform(0.0, 0.2))
+            # two triangles of a small quad
+            p0 = np.array([x, y, z], np.float32)
+            u = np.array([0.8, 0, 0], np.float32)
+            v = np.array([0, 0, 0.8], np.float32)
+            mat = 1 if (k % emissive_every == 0) else 0
+            ps += [p0, p0 + u + v]
+            us += [u, -u]
+            vs += [v, -v]
+            mats += [mat, mat]
+            k += 1
+    host = HostScene()
+    host.p = np.stack(ps)
+    host.u = np.stack(us)
+    host.v = np.stack(vs)
+    ng = np.cross(host.u, host.v)
+    ng /= np.linalg.norm(ng, axis=-1, keepdims=True)
+    host.ng = ng.astype(np.float32)
+    n = len(ps)
+    host.n1 = host.n2 = host.n3 = host.ng
+    z2 = np.zeros((n, 2), np.float32)
+    host.tex1 = host.tex2 = host.tex3 = z2
+    host.tan1 = host.tan2 = host.tan3 = np.zeros((n, 4), np.float32)
+    host.mat_index = np.asarray(mats, np.int32)
+    host.materials = materials
+    return build.finish_scene(host)
+
+
+def test_morton_order_is_permutation():
+    c = np.random.default_rng(0).normal(size=(257, 3)).astype(np.float32)
+    order = light_cull.morton_order(c)
+    assert sorted(order.tolist()) == list(range(257))
+
+
+def test_morton_groups_are_local():
+    """Morton-ordered clusters must be tighter than input-ordered ones."""
+    rng = np.random.default_rng(1)
+    # shuffled grid positions: raw order has no locality
+    pts = np.stack(np.meshgrid(*[np.arange(8.0)] * 3), -1).reshape(-1, 3)
+    rng.shuffle(pts)
+    order = light_cull.morton_order(pts)
+    def mean_extent(p):
+        g = p[: len(p) // 32 * 32].reshape(-1, 32, 3)
+        return float((g.max(1) - g.min(1)).mean())
+    assert mean_extent(pts[order]) < 0.5 * mean_extent(pts)
+
+
+def test_culled_matches_dense():
+    scene = grid_light_scene(12, 12)  # 288 tris, all emissive
+    n_lights = int(scene.light_p.shape[0])
+    assert n_lights == 288
+    rng = np.random.default_rng(3)
+    n = 64
+    o = jnp.asarray(
+        rng.uniform([0, 2.0, 0], [24, 6.0, 24], (n, 3)), jnp.float32
+    )
+    d = rng.normal(size=(n, 3))
+    d[:, 1] = -np.abs(d[:, 1]) - 0.1  # downward: guarantee hits
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+
+    dense = np.asarray(light_pdf_sum(scene, o, d))
+    culled = np.asarray(light_cull.light_pdf_sum_culled(scene, o, d))
+    finite = np.isfinite(dense)
+    assert finite.mean() > 0.9
+    np.testing.assert_allclose(
+        culled[finite], dense[finite], rtol=2e-4, atol=1e-6
+    )
+    # non-finite (parallel-hit inf) lanes must agree in kind
+    assert np.array_equal(np.isfinite(culled), finite)
+
+
+def test_cull_lists_are_sublinear():
+    """Coherent downward blocks must visit far fewer clusters than C."""
+    scene = grid_light_scene(16, 16)
+    from raytracer_odin_tpu.ops import culling
+    from raytracer_odin_tpu.ops import pallas_intersect as pi
+
+    n_clusters = scene.light_cluster_lo.shape[0]
+    assert n_clusters >= 8
+    # a tight camera-like bundle above one corner, looking straight down
+    n = pi.RB
+    rng = np.random.default_rng(5)
+    o = rng.uniform([0, 5, 0], [2.0, 5.5, 2.0], (n, 3)).astype(np.float32)
+    d = np.tile(np.asarray([[0.0, -1.0, 0.0]], np.float32), (n, 1))
+    o_lo, o_hi, d_lo, d_hi = culling.block_bounds(
+        jnp.asarray(o), jnp.asarray(d)
+    )
+    mask, _ = culling.cull_clusters(
+        o_lo, o_hi, d_lo, d_hi, scene.light_cluster_lo,
+        scene.light_cluster_hi,
+    )
+    visited = int(np.asarray(mask.sum(axis=-1))[0])
+    assert visited <= max(2, n_clusters // 4), (visited, n_clusters)
