@@ -168,7 +168,22 @@ def render_pool_step(scene, pstats: PoolStats, base_key, sample_start,
         contrib = jnp.where(died[:, None], radiance, 0.0)
         total = pstats.total.at[pix].add(contrib)
         total_sq = pstats.total_sq.at[pix].add(contrib * contrib)
-        # first/last: at most one lane per pixel carries the boundary sample
+        # first/last boundary samples, written via scatter-ADD of
+        # (value - old). Why this is exact and race-free:
+        #  * "first" is sample 0 of a pixel, "last" is sample spp-1 — each
+        #    exists once per pixel per render, and a lane dies exactly once
+        #    per path, so at most ONE lane in this wave carries a given
+        #    pixel's boundary sample (is_first/is_last true).
+        #  * for that lane, old + (value - old) = value: the add IS an
+        #    assignment; no other wave ever touches that (pixel, slot)
+        #    again, so the value persists.
+        #  * all non-carrying lanes are redirected to pixel 0 with a ZERO
+        #    addend (jnp.where masks both value and old), so their
+        #    accumulated contribution to pixel 0 is exactly 0 even though
+        #    many of them collide there.
+        # An assignment-scatter (.at[].set) would be wrong here: colliding
+        # dummy lanes at pixel 0 would overwrite its real value with
+        # garbage, while colliding ZERO-adds are harmless.
         is_first = died & (sample_start + lane_sample == 0)
         first = pstats.first.at[jnp.where(is_first, lane_pixel, 0)].add(
             jnp.where(is_first[:, None], radiance - pstats.first[jnp.where(is_first, lane_pixel, 0)], 0.0)
