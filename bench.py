@@ -52,18 +52,40 @@ def _measure() -> None:
 
     stats, _ = step(scene, accum.init_stats(1, H, W), key, jnp.int32(0))
     jax.block_until_ready(stats.count)  # warmup / compile
-    n_steps = 4
-    rays_dev = None  # accumulate on device; don't sync inside the timed loop
+    # Measurement: 4 windows x 4 steps (16 steps ~ 6+ s of device time).
+    # Each window syncs once so a per-window spread can be reported; rays
+    # accumulate on device and are read once at the end.
+    n_windows, steps_per_window = 4, 4
+    rays_dev = None
+    window_s = []
+    window_rays = []
+    sample = 1
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        stats, step_rays = step(scene, stats, key, jnp.int32(1 + i))
-        rays_dev = step_rays if rays_dev is None else rays_dev + step_rays
-    jax.block_until_ready(stats.count)
+    for _w in range(n_windows):
+        w0 = time.perf_counter()
+        w_rays = None
+        for _ in range(steps_per_window):
+            stats, step_rays = step(scene, stats, key, jnp.int32(sample))
+            sample += 1
+            w_rays = step_rays if w_rays is None else w_rays + step_rays
+        jax.block_until_ready(stats.count)
+        window_s.append(time.perf_counter() - w0)
+        window_rays.append(w_rays)
+        rays_dev = w_rays if rays_dev is None else rays_dev + w_rays
     dt = time.perf_counter() - t0
     rays = int(rays_dev)  # measured live path segments
 
+    n_steps = n_windows * steps_per_window
     spp = n_steps * cfg.samples_per_step
     mrays = rays / dt / 1e6
+    w_mrays = sorted(
+        int(r) / s / 1e6 for r, s in zip(window_rays, window_s)
+    )
+    median_mrays = (
+        w_mrays[len(w_mrays) // 2]
+        if len(w_mrays) % 2
+        else (w_mrays[len(w_mrays) // 2 - 1] + w_mrays[len(w_mrays) // 2]) / 2
+    )
 
     print(json.dumps({
         "metric": "demo scene 1080p path tracing throughput (1 chip)",
@@ -73,6 +95,10 @@ def _measure() -> None:
         "detail": {
             "mean_path_length": round(rays / (W * H * spp), 3),
             "seconds_per_sample": round(dt / spp, 3),
+            "steps_measured": n_steps,
+            "window_mrays_best": round(w_mrays[-1], 2),
+            "window_mrays_median": round(median_mrays, 2),
+            "window_mrays_worst": round(w_mrays[0], 2),
             "depth": DEPTH,
             "resolution": f"{W}x{H}",
             "triangles": int(scene.tri_p.shape[0]),

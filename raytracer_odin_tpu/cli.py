@@ -66,8 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preview-every", type=float, default=2.0,
                    help="Snapshot period in seconds")
     p.add_argument("--converge-se", type=float, default=0.0,
-                   help="With --continious: stop when the mean per-pixel "
-                        "standard error of the beauty mean drops below this")
+                   help="With --continious: stop when the MEDIAN per-pixel "
+                        "standard error of the beauty mean drops below this "
+                        "(median, not mean: firefly samples make the mean SE "
+                        "non-convergent)")
     p.add_argument("--checkpoint", default="",
                    help="Checkpoint file; saved periodically and on exit")
     p.add_argument("--resume", action="store_true",

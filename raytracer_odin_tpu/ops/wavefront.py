@@ -19,8 +19,9 @@ Total work is ~(items * mean_path_length) / P iterations instead of
 depth iterations at full width.
 
 RNG uses the exact same per-(sample, bounce, pixel) counter chain as the
-batched path — base -> sample -> tag -> pixel — so the pool produces
-bit-identical radiance values; the paths are just scheduled differently.
+batched path — base -> sample -> tag -> pixel — so the pool consumes the
+identical sample set; the paths are just scheduled differently (results
+agree to ~1 ULP: different XLA programs fuse/FMA differently).
 """
 
 from __future__ import annotations
@@ -39,7 +40,7 @@ JITTER_TAG = prng.JITTER_TAG  # shared with render/runtime.sample_pass
 
 # Per-lane uniforms addressed by (sample, tag, stream id) counters — the
 # same prng.uniforms the batched integrator uses, which is what makes the
-# pool consume bit-identical sample sets.
+# pool consume the identical sample set as the batched path.
 _lane_uniforms = prng.uniforms
 
 

@@ -14,10 +14,16 @@ equivalent (SURVEY.md sections 2/5): a 2D device mesh
   indices, and the additive accumulator fields are merged with one `psum`
   per step — the only collective in the renderer, riding ICI.
 
-Per-pixel counter-based RNG streams (utils/prng.uniforms) make the
-sharded result bit-identical to the single-chip render for any mesh shape.
-Host<->device traffic is scene upload once + framebuffer readback per
-snapshot, never per step.
+Per-pixel counter-based RNG streams (utils/prng.uniforms) make every mesh
+shape render exactly the same sample set. Tile-only meshes (spp axis = 1)
+are **bit-identical** to the single-chip render, including across steps:
+the local accumulation chain associates identically (asserted with
+np.array_equal in tests/test_parallel.py). Sharding the spp axis changes
+only the *summation order* of the per-sample values (the psum reduction
+tree replaces the single-chip sequential chain), so those results agree to
+float-accumulation tolerance, not bitwise — the same caveat as any
+all-reduce. Host<->device traffic is scene upload once + framebuffer
+readback per snapshot, never per step.
 """
 
 from __future__ import annotations
@@ -110,9 +116,12 @@ def make_sharded_render_step(cfg: RenderConfig, fov_x: float, mesh: Mesh,
 
     from raytracer_odin_tpu.render.runtime import sample_layer_values
 
-    def local_block(scene, base_key, sample_start):
+    def local_block(scene, stats, base_key, sample_start):
         """Runs per device: render s_local samples of the local row block.
-        Returns local-delta stats fields [n_layers, h_local, W, 3] + rays."""
+        Returns updated total/total_sq (seeded with the incoming stats on
+        spp device 0, so the accumulation chain associates exactly like the
+        single-chip step — bit-identical for tile-only meshes), local
+        first/last deltas, and the local ray count."""
         tile_idx = jax.lax.axis_index("tile")
         spp_idx = jax.lax.axis_index("spp")
         row_offset = tile_idx * h_local
@@ -130,14 +139,19 @@ def make_sharded_render_step(cfg: RenderConfig, fov_x: float, mesh: Mesh,
                     first, vals, rays + aux["rays_cast"]), None
 
         z = jnp.zeros((n_layers, h_local, W, 3), jnp.float32)
+        seed = spp_idx == 0  # stats ride exactly one spp device into the psum
         (total, total_sq, first, last, rays), _ = jax.lax.scan(
-            one, (z, z, z, z, jnp.zeros((), jnp.int32)), jnp.arange(s_local)
+            one,
+            (jnp.where(seed, stats.total, 0.0),
+             jnp.where(seed, stats.total_sq, 0.0),
+             z, z, jnp.zeros((), jnp.int32)),
+            jnp.arange(s_local),
         )
         return total, total_sq, first, last, rays
 
     def step_impl(scene, stats, base_key, sample_start):
         total, total_sq, first, last, rays = local_block(
-            scene, base_key, sample_start
+            scene, stats, base_key, sample_start
         )
         spp_idx = jax.lax.axis_index("spp")
         # Additive merges over the spp axis.
@@ -154,8 +168,8 @@ def make_sharded_render_step(cfg: RenderConfig, fov_x: float, mesh: Mesh,
         new = accum.Stats(
             first=jnp.where(is_first, first, stats.first),
             last=last,
-            total=stats.total + total,
-            total_sq=stats.total_sq + total_sq,
+            total=total,
+            total_sq=total_sq,
             count=stats.count + float(cfg.samples_per_step),
         )
         return new, rays

@@ -267,10 +267,14 @@ def render_scene(
     fresh-accumulator factory (sharded renders allocate padded rows).
 
     converge_se > 0 adds a convergence stop to continuous mode: every
-    `converge_check_every` steps the mean per-pixel standard error of the
-    beauty mean (sqrt(sample variance / count), averaged over pixels and
+    `converge_check_every` steps the MEDIAN per-pixel standard error of the
+    beauty mean (sqrt(sample variance / count), median over pixels and
     channels) is computed on device; the render stops once it drops below
-    the threshold."""
+    the threshold. The median — not the mean — is deliberate: one-sample-MIS
+    firefly samples have heavy-tailed variance, so the mean SE can jump by
+    an order of magnitude when a firefly lands and never converges, while
+    the median tracks typical-pixel noise and declines ~1/sqrt(n) (see
+    mean_standard_error)."""
     step = step_fn or make_render_step(cfg, fov_x)
     if make_stats is None:
         make_stats = lambda: accum.init_stats(  # noqa: E731
@@ -317,7 +321,7 @@ def render_scene(
                 ))
                 if verbose:
                     print(
-                        f"{samples_done} spp, mean standard error {se:.2e}"
+                        f"{samples_done} spp, median standard error {se:.2e}"
                         f" (target {converge_se:.1e})"
                     )
                 if se < converge_se:

@@ -39,24 +39,34 @@ def run_mesh(scene, cfg, fov_x, n_tile, n_spp, steps=1):
 
 
 def test_sharded_matches_single_device(cube_scene):
+    """Tile-only meshes must be BIT-IDENTICAL to the single-chip render
+    (the local accumulation chain associates exactly like the single-chip
+    step); spp-sharded meshes change only the summation order (psum tree),
+    so they are held to float-accumulation tolerance."""
     host, scene = cube_scene
     cfg = cfg16()
     single = runtime.render_scene(scene, cfg, host.cam.fov_x)
-    for n_tile, n_spp in [(8, 1), (4, 2), (2, 4), (1, 8), (2, 2)]:
+    for n_tile, n_spp in [(8, 1), (4, 1), (4, 2), (2, 4), (1, 8), (2, 2)]:
         stats, rays = run_mesh(scene, cfg, host.cam.fov_x, n_tile, n_spp)
         assert rays == single.rays_cast, (n_tile, n_spp)
-        assert np.allclose(
-            np.asarray(single.stats.total[0]), np.asarray(stats.total[0]),
-            rtol=1e-4, atol=1e-5,
-        ), (n_tile, n_spp)
-        assert np.allclose(
-            np.asarray(single.stats.first[0]), np.asarray(stats.first[0]),
-            rtol=1e-5, atol=1e-6,
-        )
-        assert np.allclose(
-            np.asarray(single.stats.last[0]), np.asarray(stats.last[0]),
-            rtol=1e-5, atol=1e-6,
-        )
+        if n_spp == 1:
+            for field in ("total", "first", "last", "total_sq"):
+                a = np.asarray(getattr(single.stats, field)[0])
+                b = np.asarray(getattr(stats, field)[0])
+                assert np.array_equal(a, b), (n_tile, n_spp, field)
+        else:
+            assert np.allclose(
+                np.asarray(single.stats.total[0]), np.asarray(stats.total[0]),
+                rtol=1e-4, atol=1e-5,
+            ), (n_tile, n_spp)
+            assert np.allclose(
+                np.asarray(single.stats.first[0]), np.asarray(stats.first[0]),
+                rtol=1e-5, atol=1e-6,
+            )
+            assert np.allclose(
+                np.asarray(single.stats.last[0]), np.asarray(stats.last[0]),
+                rtol=1e-5, atol=1e-6,
+            )
         assert np.allclose(np.asarray(stats.count[0]), cfg.samples_per_step)
 
 
@@ -64,6 +74,16 @@ def test_sharded_multiple_steps(cube_scene):
     host, scene = cube_scene
     cfg = cfg16(samples=8, samples_per_step=4)
     single = runtime.render_scene(scene, cfg, host.cam.fov_x)
+    # Tile-only mesh: bit-identical across steps too.
+    stats, _ = run_mesh(scene, cfg, host.cam.fov_x, 8, 1, steps=2)
+    assert np.allclose(np.asarray(stats.count[0]), 8)
+    assert np.array_equal(
+        np.asarray(single.stats.total[0]), np.asarray(stats.total[0])
+    )
+    assert np.array_equal(
+        np.asarray(single.stats.total_sq[0]), np.asarray(stats.total_sq[0])
+    )
+    # spp-sharded mesh: psum association, float tolerance.
     stats, _ = run_mesh(scene, cfg, host.cam.fov_x, 4, 2, steps=2)
     assert np.allclose(np.asarray(stats.count[0]), 8)
     assert np.allclose(

@@ -1,5 +1,8 @@
-"""Persistent wavefront pool: must produce bit-identical statistics to the
-batched path (same RNG counter chains, different scheduling)."""
+"""Persistent wavefront pool: must consume the same sample set as the
+batched path (same RNG counter chains, different scheduling) and agree to
+tight float tolerance — not bitwise: pool and batch are different XLA
+programs (different fusion/FMA choices) and flush sums in different
+order."""
 
 import numpy as np
 import jax
@@ -23,6 +26,12 @@ def test_pool_matches_batch(cube_scene, pool_fraction):
     batch = runtime.render_scene(scene, c1, host.cam.fov_x)
     c2 = cfg(wavefront_pool=True, pool_fraction=pool_fraction)
     pool = runtime.render_scene(scene, c2, host.cam.fov_x)
+    # Pool and batch consume identical RNG counter streams (the same
+    # sample set), but they are different XLA programs: fusion/FMA
+    # decisions differ per shape, and the pool flushes sums in retirement
+    # order. Measured divergence is ~1 ULP (4e-7 on O(1) radiance); the
+    # assertion is tight float tolerance, NOT bitwise — a bitwise claim
+    # across different compiled programs is not meaningful.
     for field in ("total", "total_sq", "first", "last", "count"):
         a = np.asarray(getattr(batch.stats, field)[0])
         b = np.asarray(getattr(pool.stats, field)[0])
