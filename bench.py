@@ -47,8 +47,12 @@ def _measure() -> None:
     cfg = RenderConfig(
         width=W, height=H, ray_depth=DEPTH, samples=1 << 30,
         samples_per_step=1, debug_features=False, intersector="pallas",
+        compact="auto",
     )
-    step = runtime.make_render_step(cfg, fov_x)
+    # Dead-lane compaction: calibrate static per-bounce lane budgets from a
+    # 1-spp measurement, exactly like render_scene with compact="auto".
+    schedule = runtime.auto_lane_schedule(scene, cfg, fov_x)
+    step = runtime.make_render_step(cfg, fov_x, lane_schedule=schedule)
 
     stats, _ = step(scene, accum.init_stats(1, H, W), key, jnp.int32(0))
     jax.block_until_ready(stats.count)  # warmup / compile
@@ -73,7 +77,20 @@ def _measure() -> None:
         window_rays.append(w_rays)
         rays_dev = w_rays if rays_dev is None else rays_dev + w_rays
     dt = time.perf_counter() - t0
-    rays = int(rays_dev)  # measured live path segments
+    # step returns int32[2] = (rays, compaction overflow); overflow must be
+    # zero or the compacted render dropped energy (calibrated schedules
+    # make this a ~never event — fail loudly rather than report a bogus
+    # throughput for an invalid render).
+    import numpy as np
+
+    rays_over = np.asarray(rays_dev)
+    rays = int(rays_over[0])  # measured live path segments
+    if int(rays_over[1]) != 0:
+        raise RuntimeError(
+            f"compaction overflow {int(rays_over[1])} lanes — schedule "
+            "undershoots; bench result would be invalid"
+        )
+    window_rays = [int(np.asarray(r)[0]) for r in window_rays]
 
     n_steps = n_windows * steps_per_window
     spp = n_steps * cfg.samples_per_step

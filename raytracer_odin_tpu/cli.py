@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Persistent wavefront pool (stream compaction); "
                         "implies no debug layers")
     p.add_argument("--pool-fraction", type=float, default=0.5)
+    p.add_argument("--compact", choices=["auto", "off"], default="auto",
+                   help="Dead-lane compaction: slice the sorted wavefront "
+                        "to calibrated per-bounce lane budgets (Pallas "
+                        "path, no debug layers; falls back silently "
+                        "elsewhere; overflow triggers an uncompacted "
+                        "re-render)")
     p.add_argument("--layer", type=int, default=0, help="Output layer (0-9)")
     p.add_argument("--mode", default="mean",
                    choices=["mean", "variance", "first", "last", "count",
@@ -127,6 +133,7 @@ def main(argv=None) -> int:
         seed=args.seed, debug_features=args.debug and not args.pool,
         intersector=args.intersector,
         wavefront_pool=args.pool, pool_fraction=args.pool_fraction,
+        compact=args.compact,
     )
 
     scene = build_mod.finish_scene(host, env_map=env_tex, verbose=not args.quiet)

@@ -51,6 +51,19 @@ class RenderConfig:
     # stop occupying VPU slots. Requires debug_features=False.
     wavefront_pool: bool = False
     pool_fraction: float = 0.5  # pool lanes as a fraction of pixels
+    # Dead-lane compaction (ops/integrator.TraceOptions.lane_schedule):
+    # "auto" calibrates a static per-bounce lane budget from a 1-spp
+    # measurement (runtime.auto_lane_schedule) and slices the sorted
+    # wavefront to it; "off" keeps full-width masked lanes. Only the
+    # Pallas path with debug_features=False compacts; anything else
+    # falls back silently.
+    compact: str = "off"
+    # Safety margin on the measured alive counts (overflow beyond the
+    # margin is detected on device and triggers an uncompacted re-render).
+    compact_margin: float = 1.12
+    # Explicit static lane budgets for bounces 1..ray_depth-1 (overrides
+    # compact="auto"; mainly for tests and benchmarking sweeps).
+    compact_schedule: Optional[tuple] = None
     # Number of devices to shard the image over (None = all available).
     num_devices: Optional[int] = None
 

@@ -5,8 +5,9 @@ PNG / JPEG / Radiance HDR, and returns a float32 [H, W, C] array plus an
 ``is_hdr`` flag. LDR images are returned as value/255.0 exactly like the
 reference's u8 path (textures.odin:88-90); HDR images keep raw radiance.
 
-PNG and HDR use our from-scratch codecs; JPEG decode goes through PIL when
-available (a from-scratch baseline JPEG decoder is on the roadmap).
+PNG and HDR use our from-scratch codecs; baseline-sequential JPEG uses the
+from-scratch decoder in io/jpeg.py (progressive JPEGs fall back to PIL
+when available).
 """
 
 from __future__ import annotations
@@ -45,15 +46,21 @@ def decode_image(data: bytes) -> LoadedImage:
         img = png_codec.decode(data)
         return LoadedImage(img.astype(np.float32) / 255.0, False)
     if data[:2] == b"\xff\xd8":  # JPEG SOI
+        from raytracer_odin_tpu.io import jpeg as jpeg_codec
+
         try:
-            from PIL import Image
-        except ImportError as e:  # pragma: no cover
-            raise ValueError(
-                "JPEG texture found but no JPEG decoder is available"
-            ) from e
-        img = np.asarray(Image.open(_io.BytesIO(data)))
-        if img.ndim == 2:
-            img = img[..., None]
+            img = jpeg_codec.decode(data)
+        except jpeg_codec.JpegError:
+            # Progressive / exotic JPEG: fall back to PIL if present.
+            try:
+                from PIL import Image
+            except ImportError as e:  # pragma: no cover
+                raise ValueError(
+                    "unsupported JPEG variant and PIL is unavailable"
+                ) from e
+            img = np.asarray(Image.open(_io.BytesIO(data)))
+            if img.ndim == 2:
+                img = img[..., None]
         return LoadedImage(img.astype(np.float32) / 255.0, False)
     if data[:2] in (b"P6", b"P5", b"P3"):
         return LoadedImage(decode_ppm(data), False)

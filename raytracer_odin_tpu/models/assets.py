@@ -140,6 +140,17 @@ class GltfBuilder:
         self.textures.append({"source": len(self.images) - 1})
         return len(self.textures) - 1
 
+    def add_image_jpeg(self, rgb: np.ndarray, quality: int = 95) -> int:
+        """Embed a uint8 image as a data-URI JPEG (io/jpeg.py encoder);
+        exercises the from-scratch baseline JPEG decode path end-to-end."""
+        from raytracer_odin_tpu.io import jpeg as jpeg_codec
+
+        data = jpeg_codec.encode(rgb, quality=quality)
+        uri = "data:image/jpeg;base64," + base64.b64encode(data).decode()
+        self.images.append({"uri": uri})
+        self.textures.append({"source": len(self.images) - 1})
+        return len(self.textures) - 1
+
     def add_mesh(
         self,
         positions: np.ndarray,
@@ -383,9 +394,13 @@ def make_cornell_scene(path) -> None:
 
 
 def make_textured_scene(path) -> None:
-    """Config 3: PNG-textured metallic-roughness scene with a normal map."""
+    """Config 3: PNG/JPEG-textured metallic-roughness scene with a normal
+    map. The floor checker is a JPEG (BASELINE config 3 names "PNG/JPEG
+    textures"): it exercises the from-scratch baseline JPEG decoder in the
+    actual render path; the normal/mr maps stay PNG (lossless — JPEG
+    artifacts on a normal map would be a geometry bug, not a texture)."""
     b = GltfBuilder()
-    checker = b.add_image_png(checker_texture())
+    checker = b.add_image_jpeg(checker_texture(), quality=97)
     nmap = b.add_image_png(normalmap_texture())
     # metallic-roughness texture: G = roughness ramp, B = metallic ramp
     n = 64

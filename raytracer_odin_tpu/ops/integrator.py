@@ -53,6 +53,24 @@ class TraceOptions(NamedTuple):
     # pixel window with its true stream ids reproduces the full render's
     # actual sampled paths exactly. Use on small windows only.
     log_paths: bool = False
+    # Dead-lane compaction (Pallas path): static lane budgets for bounces
+    # 1..depth-1. The per-bounce coherence sort already places dead lanes
+    # last (the dead bit is the top sort key); with a schedule, the sorted
+    # wavefront is SLICED to schedule[b-1] lanes before the cast/shade of
+    # bounce b and the (dead) tail retires its radiance — so sorts, mask
+    # kernels, gathers, and shading all shrink with the measured alive
+    # fraction instead of paying for ~44% dead lanes (reference analogue:
+    # recursion simply ends for dead paths, raytracer.odin:495-496).
+    # Retired lanes are merged scatter-free at the end (each lane retires
+    # exactly once; one sort by lane id restores image order). If more
+    # lanes are alive than a slice allows, the excess is COUNTED in
+    # aux["overflow"] (device scalar) and the render is invalid — callers
+    # check once at the end and re-render uncompacted (runtime.render_scene
+    # does this automatically); with calibrated schedules
+    # (runtime.auto_lane_schedule) overflow is a ~never event, not a bias.
+    # Requires depth > 1, the Pallas intersector, sort_rays, and neither
+    # want_aux nor log_paths (trace() falls back silently otherwise).
+    lane_schedule: tuple = None
 
 
 def _point_material(scene, o, d, t, tri_idx, bu, bv):
@@ -206,6 +224,36 @@ def eval_bounce(scene, o, d, t, tri_idx, bu, bv, uniforms, opts: TraceOptions,
     }
 
 
+def _shade_vertex(scene, o, d, t, tri_idx, alive, bu, bv, uniforms, opts,
+                  has_lights, throughput, radiance):
+    """One path vertex after the cast: env contribution on miss, emission
+    on hit, mixture sample + continuation rule, throughput update. Shared
+    by the batched trace and the compacted trace so the physics cannot
+    diverge between them.
+
+    Returns (new_o, new_d, throughput, radiance, alive, ev, hit, missed);
+    new_o/new_d are garbage on dead lanes (masked by `alive`)."""
+    hit = (tri_idx >= 0) & alive
+    missed = (~(tri_idx >= 0)) & alive
+
+    if scene.env_tex >= 0:
+        env = texture.sample_env(scene, d, scene.env_tex)
+        radiance = radiance + jnp.where(
+            missed[..., None], throughput * env, 0.0
+        )
+
+    ev = eval_bounce(scene, o, d, t, tri_idx, bu, bv, uniforms, opts,
+                     has_lights)
+    radiance = radiance + jnp.where(
+        hit[..., None], throughput * ev["material"]["emission"], 0.0
+    )
+    cont = ev["cont"] & hit
+    ratio = ev["value"] / ev["pdf"][..., None]
+    throughput = jnp.where(cont[..., None], throughput * ratio, throughput)
+    return (ev["material"]["pos"], ev["new_d"], throughput, radiance, cont,
+            ev, hit, missed)
+
+
 def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None):
     """Trace radiance for a batch of rays.
 
@@ -231,6 +279,10 @@ def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None):
         for s in batch_shape:
             n_lanes *= s
         stream_ids = jnp.arange(n_lanes, dtype=jnp.int32).reshape(batch_shape)
+
+    if opts.lane_schedule is not None and _compaction_applies(opts):
+        return _trace_compacted(scene, o, d, rng, opts, stream_ids)
+
     has_lights = scene.light_p.shape[0] > 0
     env_tex = scene.env_tex
 
@@ -239,7 +291,8 @@ def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None):
 
         # Measured ray accounting: one path segment per live lane per cast
         # (dead lanes ride the kernels masked but are not credited).
-        rays = rays + jnp.sum(alive.astype(jnp.int32))
+        alive_n = jnp.sum(alive.astype(jnp.int32))
+        rays = rays + alive_n
 
         t, tri_idx, bu, bv = traverse.cast_rays(
             scene, o, d,
@@ -249,34 +302,17 @@ def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None):
             sort=sort,
             alive=alive,
         )
-        hit = (tri_idx >= 0) & alive
-        missed = (~(tri_idx >= 0)) & alive
-
-        if env_tex >= 0:
-            env = texture.sample_env(scene, d, env_tex)
-            radiance = radiance + jnp.where(
-                missed[..., None], throughput * env, 0.0
-            )
 
         base_key, sample = rng
         uniforms = prng.uniforms(base_key, sample, b, stream_ids, 6)
 
-        ev = eval_bounce(scene, o, d, t, tri_idx, bu, bv, uniforms, opts,
-                         has_lights)
+        new_o, new_d, throughput, radiance, cont, ev, hit, missed = (
+            _shade_vertex(scene, o, d, t, tri_idx, alive, bu, bv, uniforms,
+                          opts, has_lights, throughput, radiance)
+        )
         m = ev["material"]
         normal = ev["normal"]
         pdf = ev["pdf"]
-
-        radiance = radiance + jnp.where(
-            hit[..., None], throughput * m["emission"], 0.0
-        )
-
-        cont = ev["cont"] & hit
-        ratio = ev["value"] / pdf[..., None]
-        throughput = jnp.where(
-            cont[..., None], throughput * ratio, throughput
-        )
-        new_d = ev["new_d"]
 
         ylog = None
         if opts.log_paths:
@@ -315,9 +351,9 @@ def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None):
             aux["bounces"] = aux["bounces"] + alive.astype(jnp.int32)
 
         alive = cont
-        o = m["pos"]
+        o = new_o
         d = new_d
-        return (o, d, throughput, radiance, alive, rays, aux), ylog
+        return (o, d, throughput, radiance, alive, rays, aux), (ylog, alive_n)
 
     aux0 = {}
     if opts.want_aux:
@@ -342,20 +378,32 @@ def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None):
         aux0,
     )
     if opts.depth <= 0:
-        return init[3], dict(aux0, rays_cast=init[5])
+        return init[3], dict(
+            aux0, rays_cast=init[5], overflow=jnp.zeros((), jnp.int32),
+            alive_counts=jnp.zeros((0,), jnp.int32),
+        )
     # First bounce: camera rays are already tile-coherent; later bounces are
     # re-bucketed (sort_rays) since scattered directions destroy coherence.
-    state, ylog0 = bounce(init, 0, sort=False)
+    state, (ylog0, alive0_n) = bounce(init, 0, sort=False)
     ylogs = None
+    alive_ns = None
     if opts.depth > 1:
-        (o, d, throughput, radiance, alive, rays, aux), ylogs = jax.lax.scan(
-            lambda s, b: bounce(s, b, sort=opts.sort_rays),
-            state,
-            jnp.arange(1, opts.depth),
+        (o, d, throughput, radiance, alive, rays, aux), (ylogs, alive_ns) = (
+            jax.lax.scan(
+                lambda s, b: bounce(s, b, sort=opts.sort_rays),
+                state,
+                jnp.arange(1, opts.depth),
+            )
         )
     else:
         (o, d, throughput, radiance, alive, rays, aux) = state
-    aux = dict(aux, rays_cast=rays)
+    alive_counts = (
+        alive0_n[None]
+        if alive_ns is None
+        else jnp.concatenate([alive0_n[None], alive_ns])
+    )
+    aux = dict(aux, rays_cast=rays, overflow=jnp.zeros((), jnp.int32),
+               alive_counts=alive_counts)
     if opts.log_paths:
         if ylogs is None:
             aux["ray_log"] = jax.tree_util.tree_map(
@@ -366,4 +414,193 @@ def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None):
                 lambda a, b: jnp.concatenate([a[None], b], axis=0),
                 ylog0, ylogs,
             )
+    return radiance, aux
+
+
+def _compaction_applies(opts: TraceOptions) -> bool:
+    """Static check: dead-lane compaction needs the Pallas sorted-cast path
+    and no per-lane instrumentation (AOVs accumulate at bounce 0 only in
+    the compacted layout; ray logs need full-width lanes every bounce)."""
+    if opts.depth <= 1 or opts.want_aux or opts.log_paths or not opts.sort_rays:
+        return False
+    if opts.intersector == "pallas":
+        return True
+    return opts.intersector == "auto" and jax.default_backend() != "cpu"
+
+
+def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids):
+    """Dead-lane-compacted wavefront (TraceOptions.lane_schedule).
+
+    Identical physics to `trace` (shared `_shade_vertex`/`eval_bounce`) and
+    the identical sample set (counter-addressed RNG rides the carried
+    stream ids), re-scheduled so every per-bounce stage runs at the static
+    lane budget schedule[b-1] instead of full width:
+
+      bounce 0   tiled full-width cast + shade (camera rays, image order)
+      bounce b   exact masks -> lexicographic (dead|octant, masks) sort of
+                 the FULL state (rays, throughput, radiance, stream, lane
+                 id) -> slice to schedule[b-1] lanes (alive lanes are a
+                 sorted prefix; the tail is dead and retires its radiance)
+                 -> presorted cast (no unsort) -> shade in sorted order
+      merge      every lane retires exactly once, so one concat + one sort
+                 by lane id rebuilds the image order scatter-free.
+
+    The reference analogue: recursion simply *ends* for dead paths
+    (raytracer.odin:495-496); here the batched wavefront stops paying for
+    them too, instead of masking. Overflow (more alive lanes than a slice)
+    is counted in aux["overflow"]; a nonzero count invalidates the render
+    and callers re-run uncompacted (see TraceOptions.lane_schedule).
+    """
+    from raytracer_odin_tpu.ops import culling
+    from raytracer_odin_tpu.ops import pallas_intersect as pi
+    from raytracer_odin_tpu.ops.geometry import BIG, RAY_EPS
+
+    base_key, sample = rng
+    has_lights = scene.light_p.shape[0] > 0
+    batch_shape = o.shape[:-1]
+    n0 = 1
+    for s in batch_shape:
+        n0 *= s
+    rb = pi.RB
+    n0p = -(-n0 // rb) * rb
+    depth = opts.depth
+    schedule = opts.lane_schedule
+
+    # ---- bounce 0: full width, image order (camera rays are coherent) ----
+    alive = jnp.ones(batch_shape, bool)
+    rays = jnp.asarray(n0, jnp.int32)
+    alive_counts = [rays]
+    t, tri_idx, bu, bv = traverse.cast_rays(
+        scene, o, d, intersector="pallas", sort=False
+    )
+    uniforms = prng.uniforms(base_key, sample, 0, stream_ids, 6)
+    throughput = jnp.ones(batch_shape + (3,), jnp.float32)
+    radiance = jnp.zeros(batch_shape + (3,), jnp.float32)
+    o, d, throughput, radiance, alive, _ev, _hit, _missed = _shade_vertex(
+        scene, o, d, t, tri_idx, alive, bu, bv, uniforms, opts, has_lights,
+        throughput, radiance,
+    )
+
+    # Flatten and pad once to an RB multiple. Padding lanes are dead and
+    # get merge ids >= n0, so the final merge sorts them past the image.
+    def flat(x):
+        return x.reshape((n0,) + x.shape[len(batch_shape):])
+
+    o2, d2 = flat(o), flat(d)
+    thr, rad = flat(throughput), flat(radiance)
+    alive = flat(alive)
+    stream = flat(stream_ids)
+    iota = jnp.arange(n0p, dtype=jnp.int32)
+    pad = n0p - n0
+    if pad:
+        o2 = jnp.pad(o2, ((0, pad), (0, 0)))
+        d2 = jnp.pad(d2, ((0, pad), (0, 0)))
+        thr = jnp.pad(thr, ((0, pad), (0, 0)))
+        rad = jnp.pad(rad, ((0, pad), (0, 0)))
+        alive = jnp.pad(alive, (0, pad))  # False
+        stream = jnp.pad(stream, (0, pad))
+
+    n_clusters = scene.cluster_lo.shape[0]
+    exact = n_clusters <= traverse.MAX_EXACT_CLUSTERS
+    aabb8 = traverse.exact_cluster_aabb8(scene) if exact else None
+    if not exact:
+        scene_lo = jnp.min(scene.cluster_lo, axis=0)
+        scene_hi = jnp.max(
+            jnp.where(scene.cluster_hi > -BIG, scene.cluster_hi, scene_lo),
+            axis=0,
+        )
+
+    retired_iota = []
+    retired_rad = []
+    overflow = jnp.zeros((), jnp.int32)
+    width = n0p
+
+    far_o = jnp.asarray([BIG, 0.0, 0.0], jnp.float32)
+    unit_x = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+
+    for b in range(1, depth):
+        s_width = schedule[b - 1] if b - 1 < len(schedule) else schedule[-1]
+        s_width = max(rb, min(width, (int(s_width) // rb) * rb))
+
+        # Dead lanes become degenerate far rays: empty masks, dead-last sort.
+        o_dead = jnp.where(alive[:, None], o2, far_o)
+        d_dead = jnp.where(alive[:, None], d2, unit_x)
+        o_off = o_dead + d_dead * RAY_EPS
+        octant = traverse._ray_octant(d_dead)
+        payload = (
+            o_dead[:, 0], o_dead[:, 1], o_dead[:, 2],
+            d_dead[:, 0], d_dead[:, 1], d_dead[:, 2],
+            thr[:, 0], thr[:, 1], thr[:, 2],
+            rad[:, 0], rad[:, 1], rad[:, 2],
+            stream, iota,
+        )
+        if exact:
+            words = pi.cluster_masks(aabb8, o_off, d_dead, n_clusters)
+            keys, word_slots = traverse._lex_sort_keys(
+                alive, octant, words, n_clusters
+            )
+            sorted_ops = jax.lax.sort(
+                tuple(keys) + payload, num_keys=len(keys)
+            )
+            s_words = jnp.stack(
+                [sorted_ops[i][:s_width] for i in word_slots], axis=0
+            )
+            vals = sorted_ops[len(keys):]
+        else:
+            key0 = culling.coherence_keys(
+                o_off, d_dead, alive, scene_lo, scene_hi
+            )
+            sorted_ops = jax.lax.sort((key0,) + payload, num_keys=1)
+            s_words = None
+            vals = sorted_ops[1:]
+
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+        alive_counts.append(n_alive)
+        overflow = overflow + jnp.maximum(0, n_alive - s_width)
+
+        # The tail is dead (or overflow, which poisons the render): its
+        # radiance is final — retire it for the scatter-free merge.
+        retired_iota.append(vals[13][s_width:])
+        retired_rad.append(
+            jnp.stack(
+                [vals[9][s_width:], vals[10][s_width:], vals[11][s_width:]],
+                axis=-1,
+            )
+        )
+
+        o2 = jnp.stack([v[:s_width] for v in vals[0:3]], axis=-1)
+        d2 = jnp.stack([v[:s_width] for v in vals[3:6]], axis=-1)
+        thr = jnp.stack([v[:s_width] for v in vals[6:9]], axis=-1)
+        rad = jnp.stack([v[:s_width] for v in vals[9:12]], axis=-1)
+        stream = vals[12][:s_width]
+        iota = vals[13][:s_width]
+        alive = jnp.arange(s_width, dtype=jnp.int32) < n_alive
+        width = s_width
+
+        rays = rays + jnp.sum(alive.astype(jnp.int32))
+        t, tri_idx, bu, bv = traverse.cast_presorted(
+            scene, o2, d2, words=s_words
+        )
+        uniforms = prng.uniforms(base_key, sample, b, stream, 6)
+        o2, d2, thr, rad, alive, _ev, _h, _m = _shade_vertex(
+            scene, o2, d2, t, tri_idx, alive, bu, bv, uniforms, opts,
+            has_lights, thr, rad,
+        )
+
+    # ---- scatter-free merge: each lane id appears exactly once ----
+    retired_iota.append(iota)
+    retired_rad.append(rad)
+    all_iota = jnp.concatenate(retired_iota)
+    all_rad = jnp.concatenate(retired_rad, axis=0)
+    _, r0, r1, r2 = jax.lax.sort(
+        (all_iota, all_rad[:, 0], all_rad[:, 1], all_rad[:, 2]), num_keys=1
+    )
+    radiance = jnp.stack([r0, r1, r2], axis=-1)[:n0].reshape(
+        batch_shape + (3,)
+    )
+    aux = {
+        "rays_cast": rays,
+        "overflow": overflow,
+        "alive_counts": jnp.stack(alive_counts),
+    }
     return radiance, aux

@@ -248,15 +248,21 @@ def _culled_stream_kernel(counts_ref, lists_ref, rays_ref, tris_hbm,
     _finish(out_ref, best_t, best_u, best_v, best_i)
 
 
-def _mask_kernel(rays_ref, aabb_ref, out_ref, *, n_words: int):
+def _mask_kernel(rays_ref, aabb_ref, out_ref, *, n_words: int,
+                 n_bits: int = None):
     """Exact per-ray cluster masks, bit-packed: out rows 0..n_words-1 are
     int32 words, bit c%32 of word c//32 = slab hit of cluster c. Clusters
     are tested 8 at a time in sublanes against RB rays in lanes; the whole
     pass reads each ray once (the XLA formulation of the same test cost
     ~49 ms/step in [N, 32] intermediates; this kernel is compute-shaped).
 
-    aabb_ref: [n_words*32, 8] f32, cols = lo.xyz, hi.xyz, pad, pad;
-    padding clusters must carry (BIG, -BIG) boxes so they never hit.
+    aabb_ref: [n_words*32, 8] f32, cols = lo.xyz, hi.xyz, pad, pad.
+    Padding clusters carry (BIG, -BIG) boxes — but the swapped slab test
+    treats an inverted box as UNBOUNDED (per-axis min/max reorders the
+    slabs), so their bits come out 1, not 0. With n_bits set, bits >=
+    n_bits are zeroed in the output; _lex_sort_keys's header fold (and
+    dead-lane compaction's alive-prefix invariant) REQUIRE this — a stray
+    pad bit above the real clusters would swallow the dead|octant header.
     """
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
@@ -296,6 +302,12 @@ def _mask_kernel(rays_ref, aabb_ref, out_ref, *, n_words: int):
                 jnp.where(hit, bits, 0), axis=0, keepdims=True,
                 dtype=jnp.int32,
             )
+        if n_bits is not None:
+            used = n_bits - w * 32
+            if used <= 0:
+                word = jnp.zeros_like(word)
+            elif used < 32:
+                word = jnp.bitwise_and(word, jnp.int32((1 << used) - 1))
         out_ref[w:w + 1, :] = word
     if n_words < 8:
         out_ref[n_words:8, :] = jnp.zeros(
@@ -303,19 +315,21 @@ def _mask_kernel(rays_ref, aabb_ref, out_ref, *, n_words: int):
         )
 
 
-def cluster_masks_packed(aabb8, o, d):
+def cluster_masks_packed(aabb8, o, d, n_clusters: int = None):
     """Bit-packed exact per-ray cluster masks via the Pallas kernel, in the
     kernel-native row-major layout.
 
     aabb8: [C_pad, 8] f32 (C_pad % 32 == 0; cols lo.xyz, hi.xyz, 2 pad,
     padding rows (BIG, -BIG)). o, d: [N, 3] (flat). Returns
     ([W, Npad] int32, n) with W = C_pad // 32 (<= 8); lanes >= n are zero.
+    With n_clusters set, pad-cluster bits (>= n_clusters) are zeroed —
+    required wherever the words feed _lex_sort_keys (see _mask_kernel).
     """
     n_words = aabb8.shape[0] // 32
     rays, _batch_shape, n = pack_rays(o, d)
     npad = rays.shape[1]
     out = pl.pallas_call(
-        functools.partial(_mask_kernel, n_words=n_words),
+        functools.partial(_mask_kernel, n_words=n_words, n_bits=n_clusters),
         grid=(npad // RB,),
         in_specs=[
             pl.BlockSpec((8, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -331,9 +345,11 @@ def cluster_masks_packed(aabb8, o, d):
     return out[:n_words], n
 
 
-def cluster_masks(aabb8, o, d):
+def cluster_masks(aabb8, o, d, n_clusters: int = None):
     """Lane-major [N, W] view of cluster_masks_packed (sort keys, tests)."""
-    packed, n = cluster_masks_packed(aabb8, o.reshape(-1, 3), d.reshape(-1, 3))
+    packed, n = cluster_masks_packed(
+        aabb8, o.reshape(-1, 3), d.reshape(-1, 3), n_clusters
+    )
     return packed[:, :n].T
 
 

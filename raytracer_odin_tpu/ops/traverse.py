@@ -53,6 +53,11 @@ def _lex_sort_keys(alive_f, octant, words, n_clusters: int):
     and per-octant grouping still dominates; the polluted bits lie above
     bit C-1 and are ignored by culling.unpack_mask.
 
+    PRECONDITION: `words` must have bits >= n_clusters zeroed (pass
+    n_clusters to pallas_intersect.cluster_masks) — pad-cluster bits above
+    the real clusters would swallow the header and break both the grouping
+    and dead-lane compaction's alive-prefix invariant.
+
     Returns (keys, word_slots): sort with num_keys=len(keys); the sorted
     mask words (original word order, header pollution left in place) are
     [sorted_cols[i] for i in word_slots]."""
@@ -187,6 +192,62 @@ def cast_rays_bvh(scene, o, d, max_t=None):
     return best_t, best_i, best_u, best_v
 
 
+def exact_cluster_aabb8(scene):
+    """[C_pad, 8] cluster-AABB rows for the exact-mask kernel: lo.xyz,
+    hi.xyz, 2 pad columns; padded to a multiple of 32 rows with unhittable
+    (BIG, -BIG) boxes."""
+    n_clusters = scene.cluster_lo.shape[0]
+    c_pad = -(-n_clusters // 32) * 32
+    aabb8 = jnp.concatenate(
+        [
+            scene.cluster_lo, scene.cluster_hi,
+            jnp.zeros((n_clusters, 2), jnp.float32),
+        ],
+        axis=-1,
+    )
+    pad_rows = jnp.concatenate(
+        [
+            jnp.full((c_pad - n_clusters, 3), BIG, jnp.float32),
+            jnp.full((c_pad - n_clusters, 3), -BIG, jnp.float32),
+            jnp.zeros((c_pad - n_clusters, 2), jnp.float32),
+        ],
+        axis=-1,
+    )
+    return jnp.concatenate([aabb8, pad_rows], axis=0)
+
+
+def cast_presorted(scene, o, d, words=None):
+    """Nearest hit for rays that are ALREADY coherence-sorted and RB-aligned
+    (the dead-lane-compacted wavefront, ops/integrator._trace_compacted):
+    no internal sort, no unsort — results come back in the given lane order.
+
+    o, d: [N, 3] with N a multiple of pallas_intersect.RB; dead lanes must
+    already carry degenerate far rays. words: [W, N] int32 row-major exact
+    per-ray cluster masks of the RAY_EPS-offset rays (cluster_masks_packed
+    layout), or None to use the conservative bundle-interval cull. Same
+    cast_ray semantics as every other intersector (RAY_EPS offset + re-add,
+    raytracer.odin:416-430)."""
+    from raytracer_odin_tpu.ops import culling
+    from raytracer_odin_tpu.ops import pallas_intersect as pi
+
+    o = o + d * RAY_EPS
+    n_clusters = scene.cluster_lo.shape[0]
+    if words is not None:
+        mask = culling.unpack_mask(
+            culling.or_blocks_packed(words), n_clusters
+        )
+        counts, lists = culling.build_lists(mask, cap=192)
+    else:
+        o_lo, o_hi, d_lo, d_hi = culling.block_bounds(o, d)
+        mask, near = culling.cull_clusters(
+            o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
+        )
+        counts, lists = culling.build_lists(mask, cap=192, near=near)
+    t, idx, bu, bv = pi.intersect_culled(scene.ptri, counts, lists, o, d)
+    t = jnp.where(idx >= 0, t + RAY_EPS, BIG)
+    return t, idx, bu, bv
+
+
 def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
                      alive=None):
     """Pallas bundle-culled intersect (ops/pallas_intersect + ops/culling):
@@ -216,23 +277,7 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
     exact = culled and n_clusters <= MAX_EXACT_CLUSTERS
     exact_words = None
     if exact:
-        c_pad = -(-n_clusters // 32) * 32
-        aabb8 = jnp.concatenate(
-            [
-                scene.cluster_lo, scene.cluster_hi,
-                jnp.zeros((n_clusters, 2), jnp.float32),
-            ],
-            axis=-1,
-        )
-        pad_rows = jnp.concatenate(
-            [
-                jnp.full((c_pad - n_clusters, 3), BIG, jnp.float32),
-                jnp.full((c_pad - n_clusters, 3), -BIG, jnp.float32),
-                jnp.zeros((c_pad - n_clusters, 2), jnp.float32),
-            ],
-            axis=-1,
-        )
-        aabb8 = jnp.concatenate([aabb8, pad_rows], axis=0)
+        aabb8 = exact_cluster_aabb8(scene)
 
     perm = None
     if sort:
@@ -265,7 +310,7 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
             # union 26.4 clusters vs 89.3 unsorted; approximate single-key
             # signatures measured 41.8 — the full lex order earns its
             # keep, and extra key columns are free, see _lex_sort_keys).
-            words = pi.cluster_masks(aabb8, o2, d2)
+            words = pi.cluster_masks(aabb8, o2, d2, n_clusters)
             octant = _ray_octant(d2)
             keys, word_slots = _lex_sort_keys(
                 alive_f, octant, words, n_clusters
@@ -303,7 +348,7 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
             o2 = o.reshape(-1, 3)
             d2 = d.reshape(-1, 3)
         if exact:
-            exact_words, _ = pi.cluster_masks_packed(aabb8, o2, d2)
+            exact_words, _ = pi.cluster_masks_packed(aabb8, o2, d2, n_clusters)
 
     if culled and exact:
         # Exact per-block lists: OR-union of the block's per-ray masks.

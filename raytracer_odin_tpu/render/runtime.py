@@ -24,7 +24,9 @@ import numpy as np
 
 from raytracer_odin_tpu import config as config_mod
 from raytracer_odin_tpu.config import RenderConfig
-from raytracer_odin_tpu.ops.integrator import TraceOptions, trace
+from raytracer_odin_tpu.ops.integrator import (
+    TraceOptions, _compaction_applies, trace,
+)
 from raytracer_odin_tpu.render import accum
 from raytracer_odin_tpu.utils.math3d import norm_l1, normalize
 
@@ -148,13 +150,17 @@ def sample_layer_values(radiance, aux, debug: bool):
     return jnp.stack(vals, axis=0)
 
 
-def make_render_step(cfg: RenderConfig, fov_x: float) -> Callable:
+def make_render_step(cfg: RenderConfig, fov_x: float,
+                     lane_schedule=None) -> Callable:
     """Build the jitted step: (scene, stats, base_key, sample_start) ->
-    (stats, rays). Computes cfg.samples_per_step full-image samples
-    sequentially (preserving first/last ordering) and folds them into stats;
-    `rays` is the int32 count of path segments actually cast."""
+    (stats, rays_info). Computes cfg.samples_per_step full-image samples
+    sequentially (preserving first/last ordering) and folds them into
+    stats; `rays_info` is int32[2] = (path segments actually cast,
+    compaction overflow lanes — zero unless a lane_schedule undershoots;
+    see TraceOptions.lane_schedule)."""
     if cfg.wavefront_pool:
         return make_pool_render_step(cfg, fov_x)
+    schedule = cfg.compact_schedule or lane_schedule
     opts = TraceOptions(
         depth=cfg.ray_depth,
         intersector=cfg.intersector,
@@ -162,6 +168,7 @@ def make_render_step(cfg: RenderConfig, fov_x: float) -> Callable:
         brute_max_tris=cfg.brute_max_tris,
         light_chunk=cfg.light_chunk,
         want_aux=cfg.debug_features,
+        lane_schedule=tuple(schedule) if schedule else None,
     )
     H, W = cfg.height, cfg.width
 
@@ -172,6 +179,7 @@ def make_render_step(cfg: RenderConfig, fov_x: float) -> Callable:
         # fields at 1080p, trace-measured ~25 ms/step); unrolled, the stats
         # update aliases in place via donation.
         rays = jnp.zeros((), jnp.int32)
+        over = jnp.zeros((), jnp.int32)
         for k in range(cfg.samples_per_step):
             radiance, aux = sample_pass(
                 scene, base_key, sample_start + k, fov_x, W, H, opts
@@ -179,9 +187,49 @@ def make_render_step(cfg: RenderConfig, fov_x: float) -> Callable:
             vals = sample_layer_values(radiance, aux, cfg.debug_features)
             stats = accum.update_layers(stats, vals)
             rays = rays + aux["rays_cast"]
-        return stats, rays
+            over = over + aux["overflow"]
+        return stats, jnp.stack([rays, over])
 
     return step
+
+
+def auto_lane_schedule(scene, cfg: RenderConfig, fov_x: float,
+                       margin: Optional[float] = None):
+    """Measure the per-bounce alive schedule with one uncompacted 1-spp
+    sample and turn it into static lane budgets for
+    TraceOptions.lane_schedule: budget[b-1] = alive entering bounce b times
+    a safety margin plus two ray blocks of slack, rounded up to a ray-block
+    multiple. Alive counts concentrate tightly around their mean over
+    millions of lanes (binomial: sd/mean ~ 1/sqrt(N)), so the margin makes
+    overflow a ~never event while keeping ~all of the dead-lane savings."""
+    import numpy as np
+
+    from raytracer_odin_tpu.ops.pallas_intersect import RB
+
+    margin = cfg.compact_margin if margin is None else margin
+    opts = TraceOptions(
+        depth=cfg.ray_depth,
+        intersector=cfg.intersector,
+        brute_chunk=cfg.brute_chunk,
+        brute_max_tris=cfg.brute_max_tris,
+        light_chunk=cfg.light_chunk,
+        want_aux=False,
+    )
+
+    @jax.jit
+    def counts_fn(base_key):
+        _, aux = sample_pass(
+            scene, base_key, jnp.int32(0), fov_x, cfg.width, cfg.height, opts
+        )
+        return aux["alive_counts"]
+
+    counts = np.asarray(counts_fn(jax.random.PRNGKey(cfg.seed)))
+    n0p = -(-(cfg.height * cfg.width) // RB) * RB
+    sched = []
+    for c in counts[1:]:
+        s = int(c * margin) + 2 * RB
+        sched.append(min(n0p, -(-s // RB) * RB))
+    return tuple(sched)
 
 
 def make_pool_render_step(cfg: RenderConfig, fov_x: float) -> Callable:
@@ -275,7 +323,23 @@ def render_scene(
     an order of magnitude when a firefly lands and never converges, while
     the median tracks typical-pixel noise and declines ~1/sqrt(n) (see
     mean_standard_error)."""
-    step = step_fn or make_render_step(cfg, fov_x)
+    step = step_fn
+    if step is None:
+        lane_schedule = None
+        if (
+            cfg.compact == "auto"
+            and cfg.compact_schedule is None
+            and not cfg.wavefront_pool
+            and not cfg.debug_features
+            and cfg.ray_depth > 1
+            # Skip the 1-spp calibration pass when trace() would fall back
+            # to the uncompacted path anyway (e.g. CPU auto intersector).
+            and _compaction_applies(TraceOptions(
+                depth=cfg.ray_depth, intersector=cfg.intersector,
+            ))
+        ):
+            lane_schedule = auto_lane_schedule(scene, cfg, fov_x)
+        step = make_render_step(cfg, fov_x, lane_schedule=lane_schedule)
     if make_stats is None:
         make_stats = lambda: accum.init_stats(  # noqa: E731
             cfg.num_layers, cfg.height, cfg.width
@@ -302,8 +366,14 @@ def render_scene(
                 scene, stats, base_key, jnp.int32(samples_done)
             )
             # float32 to avoid int32 overflow over long continuous renders;
-            # stays on device so the loop never syncs.
-            step_rays = step_rays.astype(jnp.float32)
+            # stays on device so the loop never syncs. Shape-normalized to
+            # [rays, overflow] (pool/mesh steps return a scalar: no
+            # compaction there, overflow 0).
+            step_rays = jnp.atleast_1d(step_rays).astype(jnp.float32)
+            if step_rays.shape[0] == 1:
+                step_rays = jnp.concatenate(
+                    [step_rays, jnp.zeros((1,), jnp.float32)]
+                )
             rays_total = (
                 step_rays if rays_total is None else rays_total + step_rays
             )
@@ -340,7 +410,27 @@ def render_scene(
     if verbose and trials > 1:
         print_perf_summary(timings)
 
-    rays = 0 if rays_total is None else int(np.asarray(rays_total))
+    rays = 0
+    overflow = 0
+    if rays_total is not None:
+        arr = np.asarray(rays_total)
+        rays = int(arr[0])
+        overflow = int(arr[1]) if arr.shape[0] > 1 else 0
+    if overflow > 0:
+        # A compaction slice truncated live lanes: the render is invalid
+        # (energy dropped). Re-render uncompacted — correct by
+        # construction; with calibrated schedules this path is ~never hit.
+        print(
+            f"WARNING: lane-schedule overflow ({overflow} lanes); "
+            "re-rendering uncompacted"
+        )
+        return render_scene(
+            scene, cfg.replace(compact="off", compact_schedule=None), fov_x,
+            trials=trials, interrupt=interrupt, on_step=on_step,
+            initial_stats=None, initial_samples=0, verbose=verbose,
+            make_stats=make_stats, converge_se=converge_se,
+            converge_check_every=converge_check_every,
+        )
     return RenderResult(
         stats=result_stats,
         samples_done=samples_done,

@@ -104,11 +104,108 @@ def test_unknown_format_raises(tmp_path):
         writers.save_image(tmp_path / "a.bmp", np.zeros((2, 2, 3), np.uint8))
 
 
-def test_jpeg_decode_via_pil():
-    PIL = pytest.importorskip("PIL.Image")
-    img = np.full((16, 16, 3), 128, np.uint8)
+def _test_photo(h=40, w=56):
+    """Smooth synthetic 'photo' (JPEG-friendly: no hard edges, so decoder
+    differences are sub-quantization)."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    r = 128 + 90 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+    g = 128 + 70 * np.cos(xx / 13.0 + 1.0)
+    b = 128 + 80 * np.sin((xx + yy) / 11.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _pil_jpeg(img, **kw):
+    import PIL.Image
+
     buf = io.BytesIO()
-    PIL.fromarray(img).save(buf, format="JPEG", quality=95)
-    li = images.decode_image(buf.getvalue())
-    assert li.data.shape == (16, 16, 3)
-    assert abs(float(li.data.mean()) - 128 / 255) < 0.02
+    PIL.Image.fromarray(img if img.ndim == 3 else img).save(
+        buf, format="JPEG", **kw
+    )
+    return buf.getvalue()
+
+
+def test_jpeg_from_scratch_matches_pil():
+    """Our baseline JPEG decoder vs PIL's, across quality and subsampling
+    (4:4:4, 4:2:2, 4:2:0) on non-multiple-of-16 dimensions."""
+    import PIL.Image
+    from raytracer_odin_tpu.io import jpeg
+
+    img = _test_photo()
+    for quality, subsampling in [(95, 0), (85, 1), (75, 2)]:
+        data = _pil_jpeg(img, quality=quality, subsampling=subsampling)
+        ours = jpeg.decode(data).astype(np.float64)
+        pil = np.asarray(PIL.Image.open(io.BytesIO(data))).astype(np.float64)
+        # Luma is upsampling-free: near-exact. Chroma differs by PIL's
+        # fancy upsampling vs our replication; compare means + Y plane.
+        y_ours = ours @ [0.299, 0.587, 0.114]
+        y_pil = pil @ [0.299, 0.587, 0.114]
+        assert np.abs(y_ours - y_pil).mean() < 1.0, (quality, subsampling)
+        assert np.abs(ours - pil).mean() < 3.0, (quality, subsampling)
+        assert np.abs(ours.mean(axis=(0, 1)) - pil.mean(axis=(0, 1))).max() < 1.0
+
+
+def test_jpeg_grayscale_and_restart():
+    import PIL.Image
+    from raytracer_odin_tpu.io import jpeg
+
+    img = _test_photo()[:, :, 1]
+    data = _pil_jpeg(img, quality=90, restart_marker_blocks=2)
+    ours = jpeg.decode(data)
+    assert ours.shape == (img.shape[0], img.shape[1], 1)
+    pil = np.asarray(PIL.Image.open(io.BytesIO(data))).astype(np.float64)
+    assert np.abs(ours[..., 0].astype(np.float64) - pil).mean() < 1.0
+
+
+def test_jpeg_progressive_raises_and_falls_back():
+    from raytracer_odin_tpu.io import jpeg
+
+    img = _test_photo()
+    data = _pil_jpeg(img, quality=90, progressive=True)
+    with pytest.raises(jpeg.JpegError):
+        jpeg.decode(data)
+    # decode_image falls back to PIL transparently
+    li = images.decode_image(data)
+    assert li.data.shape == img.shape
+
+
+def test_jpeg_decode_image_uses_from_scratch():
+    """decode_image must handle baseline JPEG without PIL in the loop."""
+    import unittest.mock
+
+    img = _test_photo()
+    data = _pil_jpeg(img, quality=92)
+    with unittest.mock.patch.dict("sys.modules", {"PIL": None, "PIL.Image": None}):
+        li = images.decode_image(data)
+    assert li.data.shape == img.shape
+    assert abs(float(li.data.mean() * 255) - img.mean()) < 1.5
+
+
+def test_jpeg_encoder_roundtrip():
+    """Our encoder's bytes decode correctly through BOTH our decoder and
+    PIL (proving the bitstream is spec-conformant, not just self-consistent)."""
+    import PIL.Image
+    from raytracer_odin_tpu.io import jpeg
+
+    img = _test_photo()
+    data = jpeg.encode(img, quality=92)
+    ours = jpeg.decode(data).astype(np.float64)
+    assert ours.shape == img.shape
+    mse = ((ours - img) ** 2).mean()
+    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-9))
+    assert psnr > 35, psnr
+    pil = np.asarray(PIL.Image.open(io.BytesIO(data))).astype(np.float64)
+    # Same bitstream, same pixels up to decoder IDCT rounding: T.81 A.3.3
+    # allows +-1 per sample in the IDCT stage and the YCbCr->RGB rounding
+    # can add one more (ours is float64; libjpeg is fixed-point).
+    assert np.abs(ours - pil).max() <= 2.0
+    assert np.abs(ours - pil).mean() < 0.5
+
+
+def test_jpeg_encoder_gray_and_odd_sizes():
+    from raytracer_odin_tpu.io import jpeg
+
+    img = _test_photo(h=17, w=23)[:, :, 0]
+    data = jpeg.encode(img, quality=95)
+    back = jpeg.decode(data)
+    assert back.shape == (17, 23, 1)
+    assert np.abs(back[..., 0].astype(np.float64) - img).mean() < 3.0

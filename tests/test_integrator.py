@@ -176,3 +176,110 @@ def test_oracle_cross_check(cube_scene):
     m_ref = ref.mean(axis=(0, 1))
     assert np.all(np.abs(m_ours - m_ref) / m_ref < 0.06), (m_ours, m_ref)
     assert np.abs(ours - ref).mean() < 0.12
+
+
+# ---------------------------------------------------------------------------
+# Dead-lane compaction (TraceOptions.lane_schedule)
+# ---------------------------------------------------------------------------
+
+def _pass_pair(scene, fov_x, W, H, depth, schedule):
+    """(full, compacted) sample_pass results for one camera sample."""
+    key = jax.random.PRNGKey(0)
+    base = TraceOptions(depth=depth, intersector="pallas")
+    full = jax.jit(
+        lambda k: runtime.sample_pass(scene, k, jnp.int32(0), fov_x, W, H, base)
+    )(key)
+    copts = base._replace(lane_schedule=tuple(schedule))
+    comp = jax.jit(
+        lambda k: runtime.sample_pass(scene, k, jnp.int32(0), fov_x, W, H, copts)
+    )(key)
+    return full, comp
+
+
+def test_compacted_matches_full(cornell_scene):
+    """Compacted trace = full-width trace: same radiance (up to XLA fusion
+    rounding), same measured ray count, same per-bounce alive schedule."""
+    host, scene = cornell_scene
+    W = H = 48
+    depth = 5
+    fov_x = host.cam.fov_x
+    (r_full, a_full), (r_comp, a_comp) = _pass_pair(
+        scene, fov_x, W, H, depth, (2304, 2048, 1536, 1024)
+    )
+    assert int(a_comp["overflow"]) == 0
+    assert int(a_full["rays_cast"]) == int(a_comp["rays_cast"])
+    assert np.array_equal(
+        np.asarray(a_full["alive_counts"]), np.asarray(a_comp["alive_counts"])
+    )
+    assert np.allclose(np.asarray(r_full), np.asarray(r_comp),
+                       rtol=1e-4, atol=1e-4)
+
+
+def test_compacted_env_misses_retire():
+    """Lanes that miss into the env map retire their radiance through the
+    compaction merge (env contribution rides the sorted radiance column)."""
+    env = HostTexture(np.full((4, 8, 3), 0.7, np.float32), True)
+    scene = single_quad_scene(color=(0.6, 0.6, 0.6), env=env, metallic=0.0)
+    W = H = 32
+    depth = 4
+    (r_full, a_full), (r_comp, a_comp) = _pass_pair(
+        scene, 1.2, W, H, depth, (1024, 512, 512)
+    )
+    assert int(a_comp["overflow"]) == 0
+    assert int(a_full["rays_cast"]) == int(a_comp["rays_cast"])
+    assert np.allclose(np.asarray(r_full), np.asarray(r_comp),
+                       rtol=1e-4, atol=1e-4)
+
+
+def test_compaction_overflow_detected(cornell_scene):
+    """A schedule smaller than the real alive counts must be COUNTED in
+    aux['overflow'] (the render is invalid and callers re-run uncompacted)."""
+    host, scene = cornell_scene
+    W = H = 48
+    fov_x = host.cam.fov_x
+    (_, a_full), (_, a_comp) = _pass_pair(
+        scene, fov_x, W, H, 5, (512, 512, 512, 512)
+    )
+    expect = sum(
+        max(0, int(c) - 512) for c in np.asarray(a_full["alive_counts"])[1:2]
+    )
+    assert int(a_comp["overflow"]) > 0
+    assert int(a_comp["overflow"]) >= expect
+
+
+def test_render_scene_compact_auto(cornell_scene):
+    """cfg.compact='auto' calibrates a schedule and renders without overflow,
+    matching the uncompacted render."""
+    host, scene = cornell_scene
+    W = H = 32
+    cfg = RenderConfig(
+        width=W, height=H, ray_depth=4, samples=2, samples_per_step=2,
+        debug_features=False, intersector="pallas", compact="auto",
+    )
+    fov_x = host.cam.fov_x
+    res_c = runtime.render_scene(scene, cfg, fov_x)
+    res_f = runtime.render_scene(scene, cfg.replace(compact="off"), fov_x)
+    img_c = np.asarray(res_c.stats.total[0])
+    img_f = np.asarray(res_f.stats.total[0])
+    assert np.allclose(img_c, img_f, rtol=1e-4, atol=1e-4)
+    assert res_c.rays_cast == res_f.rays_cast
+
+
+def test_render_scene_overflow_fallback(cornell_scene):
+    """An undersized explicit schedule triggers the automatic uncompacted
+    re-render: the result must equal the compact='off' render exactly."""
+    host, scene = cornell_scene
+    W = H = 32
+    cfg = RenderConfig(
+        width=W, height=H, ray_depth=4, samples=1, samples_per_step=1,
+        debug_features=False, intersector="pallas",
+        compact="auto", compact_schedule=(512, 512, 512),
+    )
+    fov_x = host.cam.fov_x
+    res_c = runtime.render_scene(scene, cfg, fov_x, verbose=False)
+    res_f = runtime.render_scene(
+        scene, cfg.replace(compact="off", compact_schedule=None), fov_x
+    )
+    assert np.array_equal(
+        np.asarray(res_c.stats.total[0]), np.asarray(res_f.stats.total[0])
+    )

@@ -168,3 +168,13 @@ def test_cluster_mask_kernel_matches_xla():
     # the swapped slab test treats inverted padding boxes as unbounded)
     real_bits = (1 << c) - 1
     assert int(got[7, 0]) & real_bits == 0
+    # with n_clusters passed, pad bits are zeroed — the contract
+    # _lex_sort_keys' header fold and dead-lane compaction depend on
+    trimmed = np.asarray(
+        pi.cluster_masks(jnp.asarray(aabb8), jnp.asarray(o), jnp.asarray(d), c)
+    )
+    assert np.array_equal(trimmed[:, :w] & real_bits, got[:, :w] & real_bits)
+    used_last = c - (w - 1) * 32
+    for col in range(w):
+        hi_mask = ~((1 << (used_last if col == w - 1 else 32)) - 1)
+        assert (trimmed[:, col] & hi_mask == 0).all()

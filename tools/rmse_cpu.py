@@ -34,10 +34,11 @@ def main():
             continue
         host, scene = load_scene(scene_name)
         t0 = time.perf_counter()
-        mean, _ = render_stats(
+        mean, var = render_stats(
             scene, host.cam.fov_x * (w / h), w, h, depth, ss_spp
         )
         np.save(out / f"{name}_cpu_sameseed.npy", mean)
+        np.save(out / f"{name}_cpu_sameseed_var.npy", var)
         print(
             f"{name}: cpu same-seed {w}x{h}@{ss_spp}spp in "
             f"{time.perf_counter()-t0:.1f}s",

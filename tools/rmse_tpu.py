@@ -48,10 +48,11 @@ def main():
         host, scene = load_scene(scene_name)
         t0 = time.perf_counter()
         # (a) full-res same-seed render at the harness spp
-        mean, _ = render_stats(
+        mean, var = render_stats(
             scene, host.cam.fov_x * (w / h), w, h, depth, ss_spp
         )
         np.save(out / f"{name}_tpu_sameseed.npy", mean)
+        np.save(out / f"{name}_tpu_sameseed_var.npy", var)
         # (b) proxy-res high-spp mean + variance for the oracle comparison
         pw, ph, _pspp = proxy
         pmean, pvar = render_stats(
