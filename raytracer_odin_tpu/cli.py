@@ -20,6 +20,21 @@ import time
 import numpy as np
 
 
+def _layer_arg(v: str) -> int:
+    """--layer accepts an index or a registered probe name (ops/probes)."""
+    try:
+        return int(v)
+    except ValueError:
+        from raytracer_odin_tpu.ops import probes
+
+        names = probes.layer_names()
+        if v in names:
+            return names.index(v)
+        raise argparse.ArgumentTypeError(
+            f"unknown layer {v!r}; known: {', '.join(names)}"
+        )
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="raytracer_odin_tpu",
@@ -61,7 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "path, no debug layers; falls back silently "
                         "elsewhere; overflow triggers an uncompacted "
                         "re-render)")
-    p.add_argument("--layer", type=int, default=0, help="Output layer (0-9)")
+    p.add_argument("--layer", type=_layer_arg, default=0,
+                   help="Output layer: index or probe name (beauty, "
+                        "normal, depth, ... — any name registered via "
+                        "ops/probes.register)")
     p.add_argument("--mode", default="mean",
                    choices=["mean", "variance", "first", "last", "count",
                             "weight", "hash", "naninf"])

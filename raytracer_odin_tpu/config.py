@@ -69,8 +69,15 @@ class RenderConfig:
 
     @property
     def num_layers(self) -> int:
-        # NUM_LAYERS :: 10 when DEBUG_FEATURES else 1 (main.odin:48)
-        return 10 if self.debug_features else 1
+        # NUM_LAYERS :: 10 when DEBUG_FEATURES else 1 (main.odin:48).
+        # Dynamic: beauty + every registered debug probe (ops/probes.py) —
+        # registering a probe grows the stats/preview layer set, like the
+        # reference's debug_rc_set layers. 10 with the builtin set.
+        if not self.debug_features:
+            return 1
+        from raytracer_odin_tpu.ops import probes
+
+        return probes.num_layers()
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -32,7 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from raytracer_odin_tpu.ops import shading, texture, traverse
+from raytracer_odin_tpu.ops import probes, shading, texture, traverse
 from raytracer_odin_tpu.utils import prng
 from raytracer_odin_tpu.utils.math3d import dot, norm_l1, normalize
 
@@ -332,23 +332,22 @@ def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None):
             }
 
         if opts.want_aux:
-            first = aux["bounces"] == 0
-            upd = first & alive
+            # Registered debug probes (ops/probes.py — the debug_rc_set
+            # analogue, main.odin:104-124): each folds its per-vertex value
+            # into its accumulator. "_virgin" marks lanes that have not yet
+            # had a live vertex (drives the first/first_hit reductions).
+            ctx = probes.ProbeCtx(
+                bounce=b, o=o, d=d, t=t, hit=hit, missed=missed,
+                alive=alive, material=m, normal=normal, pdf=pdf,
+                value=ev["value"], new_d=new_d, throughput=throughput,
+                radiance=radiance,
+            )
+            first = aux["_virgin"]
             aux = dict(aux)
-            aux["first_t"] = jnp.where(upd & hit, t, aux["first_t"])
-            aux["first_normal"] = jnp.where(
-                (upd & hit)[..., None], normal, aux["first_normal"]
-            )
-            aux["albedo"] = jnp.where((upd & hit)[..., None], m["color"], aux["albedo"])
-            aux["first_emission"] = jnp.where(
-                (upd & hit)[..., None], m["emission"], aux["first_emission"]
-            )
-            aux["first_uv"] = jnp.where(
-                (upd & hit)[..., None], m["texcoords"], aux["first_uv"]
-            )
-            aux["first_pdf"] = jnp.where(upd & hit, pdf, aux["first_pdf"])
-            aux["prim_miss"] = jnp.where(upd, missed, aux["prim_miss"])
-            aux["bounces"] = aux["bounces"] + alive.astype(jnp.int32)
+            for p in probes.active():
+                if p.reduce != "final":
+                    aux[p.name] = p.fold(aux[p.name], ctx, first)
+            aux["_virgin"] = first & ~alive
 
         alive = cont
         o = new_o
@@ -358,15 +357,11 @@ def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None):
     aux0 = {}
     if opts.want_aux:
         aux0 = {
-            "first_t": jnp.zeros(batch_shape, jnp.float32),
-            "first_normal": jnp.zeros(batch_shape + (3,), jnp.float32),
-            "albedo": jnp.zeros(batch_shape + (3,), jnp.float32),
-            "first_emission": jnp.zeros(batch_shape + (3,), jnp.float32),
-            "first_uv": jnp.zeros(batch_shape + (2,), jnp.float32),
-            "first_pdf": jnp.zeros(batch_shape, jnp.float32),
-            "prim_miss": jnp.zeros(batch_shape, bool),
-            "bounces": jnp.zeros(batch_shape, jnp.int32),
+            p.name: p.init(batch_shape)
+            for p in probes.active()
+            if p.reduce != "final"
         }
+        aux0["_virgin"] = jnp.ones(batch_shape, bool)
 
     init = (
         o,
@@ -378,10 +373,17 @@ def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None):
         aux0,
     )
     if opts.depth <= 0:
-        return init[3], dict(
+        aux = dict(
             aux0, rays_cast=init[5], overflow=jnp.zeros((), jnp.int32),
             alive_counts=jnp.zeros((0,), jnp.int32),
         )
+        if opts.want_aux:
+            aux.pop("_virgin", None)
+            fctx = probes.ProbeCtx(radiance=init[3])
+            for p in probes.active():
+                if p.reduce == "final":
+                    aux[p.name] = jnp.asarray(p.fn(fctx), jnp.float32)
+        return init[3], aux
     # First bounce: camera rays are already tile-coherent; later bounces are
     # re-bucketed (sort_rays) since scattered directions destroy coherence.
     state, (ylog0, alive0_n) = bounce(init, 0, sort=False)
@@ -404,6 +406,12 @@ def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None):
     )
     aux = dict(aux, rays_cast=rays, overflow=jnp.zeros((), jnp.int32),
                alive_counts=alive_counts)
+    if opts.want_aux:
+        aux.pop("_virgin", None)
+        fctx = probes.ProbeCtx(radiance=radiance)
+        for p in probes.active():
+            if p.reduce == "final":
+                aux[p.name] = jnp.asarray(p.fn(fctx), jnp.float32)
     if opts.log_paths:
         if ylogs is None:
             aux["ray_log"] = jax.tree_util.tree_map(

