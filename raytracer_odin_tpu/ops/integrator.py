@@ -459,7 +459,6 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids):
     is counted in aux["overflow"]; a nonzero count invalidates the render
     and callers re-run uncompacted (see TraceOptions.lane_schedule).
     """
-    from raytracer_odin_tpu.ops import culling
     from raytracer_odin_tpu.ops import pallas_intersect as pi
     from raytracer_odin_tpu.ops.geometry import BIG, RAY_EPS
 
@@ -508,15 +507,10 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids):
         alive = jnp.pad(alive, (0, pad))  # False
         stream = jnp.pad(stream, (0, pad))
 
-    n_clusters = scene.cluster_lo.shape[0]
-    exact = n_clusters <= traverse.MAX_EXACT_CLUSTERS
-    aabb8 = traverse.exact_cluster_aabb8(scene) if exact else None
-    if not exact:
-        scene_lo = jnp.min(scene.cluster_lo, axis=0)
-        scene_hi = jnp.max(
-            jnp.where(scene.cluster_hi > -BIG, scene.cluster_hi, scene_lo),
-            axis=0,
-        )
+    # Exact per-ray masks at any scene size: bits cover super-clusters of
+    # g_exact clusters (traverse.exact_cull_layout; g_exact == 1 for small
+    # scenes), expanded + interval-refined in cast_presorted.
+    _g_exact, n_super, aabb8 = traverse.exact_cull_layout(scene)
 
     retired_iota = []
     retired_rad = []
@@ -542,25 +536,17 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids):
             rad[:, 0], rad[:, 1], rad[:, 2],
             stream, iota,
         )
-        if exact:
-            words = pi.cluster_masks(aabb8, o_off, d_dead, n_clusters)
-            keys, word_slots = traverse._lex_sort_keys(
-                alive, octant, words, n_clusters
-            )
-            sorted_ops = jax.lax.sort(
-                tuple(keys) + payload, num_keys=len(keys)
-            )
-            s_words = jnp.stack(
-                [sorted_ops[i][:s_width] for i in word_slots], axis=0
-            )
-            vals = sorted_ops[len(keys):]
-        else:
-            key0 = culling.coherence_keys(
-                o_off, d_dead, alive, scene_lo, scene_hi
-            )
-            sorted_ops = jax.lax.sort((key0,) + payload, num_keys=1)
-            s_words = None
-            vals = sorted_ops[1:]
+        words = pi.cluster_masks(aabb8, o_off, d_dead, n_super)
+        keys, word_slots = traverse._lex_sort_keys(
+            alive, octant, words, n_super
+        )
+        sorted_ops = jax.lax.sort(
+            tuple(keys) + payload, num_keys=len(keys)
+        )
+        s_words = jnp.stack(
+            [sorted_ops[i][:s_width] for i in word_slots], axis=0
+        )
+        vals = sorted_ops[len(keys):]
 
         n_alive = jnp.sum(alive.astype(jnp.int32))
         alive_counts.append(n_alive)

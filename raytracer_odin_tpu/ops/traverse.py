@@ -26,9 +26,13 @@ import jax.numpy as jnp
 from raytracer_odin_tpu.ops.bvh import LEAF_SIZE
 from raytracer_odin_tpu.ops.geometry import BIG, RAY_EPS, intersect_aabb, intersect_triangle
 
-# Exact per-ray cluster culling is used when the scene's cluster count fits
-# this many mask bits (4 int32 sort-payload words); bigger scenes fall back
-# to the conservative bundle-interval cull.
+# Exact per-ray culling works on at most this many mask bits (4 int32
+# sort-payload words). Scenes with more clusters get a two-level layout:
+# mask bits cover *super-clusters* of g = ceil(C / MAX_EXACT_CLUSTERS)
+# consecutive clusters (exact_cull_layout), and surviving supers are
+# refined per block by the conservative interval cull — so every scene
+# size keeps the exact per-ray sort/cull path and its asymptotics
+# (reference analogue: one scale-free BVH walk, raytracer.odin:211-342).
 MAX_EXACT_CLUSTERS = 128
 
 
@@ -192,28 +196,69 @@ def cast_rays_bvh(scene, o, d, max_t=None):
     return best_t, best_i, best_u, best_v
 
 
-def exact_cluster_aabb8(scene):
-    """[C_pad, 8] cluster-AABB rows for the exact-mask kernel: lo.xyz,
-    hi.xyz, 2 pad columns; padded to a multiple of 32 rows with unhittable
-    (BIG, -BIG) boxes."""
+def exact_cull_layout(scene):
+    """Two-level exact-cull layout: (g, n_super, aabb8).
+
+    g = clusters per mask bit (1 when the scene fits MAX_EXACT_CLUSTERS
+    bits directly; ceil(C / MAX_EXACT_CLUSTERS) otherwise). aabb8 is the
+    [S_pad, 8] AABB-row array for the exact-mask kernel (lo.xyz, hi.xyz,
+    2 pad columns; padded to a multiple of 32 rows with unhittable
+    (BIG, -BIG) boxes): row s bounds clusters [s*g, (s+1)*g) — consecutive
+    clusters are BVH-ordered treelets, so groups stay spatially tight."""
     n_clusters = scene.cluster_lo.shape[0]
-    c_pad = -(-n_clusters // 32) * 32
+    g = -(-n_clusters // MAX_EXACT_CLUSTERS)
+    n_super = -(-n_clusters // g)
+    lo, hi = scene.cluster_lo, scene.cluster_hi
+    if g > 1:
+        pad = n_super * g - n_clusters
+        if pad:
+            lo = jnp.concatenate(
+                [lo, jnp.full((pad, 3), BIG, jnp.float32)], axis=0
+            )
+            hi = jnp.concatenate(
+                [hi, jnp.full((pad, 3), -BIG, jnp.float32)], axis=0
+            )
+        lo = lo.reshape(n_super, g, 3).min(axis=1)
+        hi = hi.reshape(n_super, g, 3).max(axis=1)
+    s_pad = -(-n_super // 32) * 32
     aabb8 = jnp.concatenate(
-        [
-            scene.cluster_lo, scene.cluster_hi,
-            jnp.zeros((n_clusters, 2), jnp.float32),
-        ],
-        axis=-1,
+        [lo, hi, jnp.zeros((n_super, 2), jnp.float32)], axis=-1
     )
     pad_rows = jnp.concatenate(
         [
-            jnp.full((c_pad - n_clusters, 3), BIG, jnp.float32),
-            jnp.full((c_pad - n_clusters, 3), -BIG, jnp.float32),
-            jnp.zeros((c_pad - n_clusters, 2), jnp.float32),
+            jnp.full((s_pad - n_super, 3), BIG, jnp.float32),
+            jnp.full((s_pad - n_super, 3), -BIG, jnp.float32),
+            jnp.zeros((s_pad - n_super, 2), jnp.float32),
         ],
         axis=-1,
     )
-    return jnp.concatenate([aabb8, pad_rows], axis=0)
+    return g, n_super, jnp.concatenate([aabb8, pad_rows], axis=0)
+
+
+def _exact_block_lists(scene, words_packed, o2, d2, g: int, n_super: int,
+                       cap: int = 192):
+    """Per-RB-block cluster lists from sorted per-ray super masks.
+
+    words_packed: [W, Npad] int32 row-major masks over n_super bits.
+    g == 1: the mask bits ARE clusters — OR-union per block, done (exact).
+    g > 1: expand each block's surviving super bits to their g member
+    clusters and refine with the conservative bundle-interval cull
+    (culling.cull_clusters) — the intersection is strictly tighter than
+    either level alone, and `near` orders survivors nearest-first."""
+    from raytracer_odin_tpu.ops import culling
+
+    n_clusters = scene.cluster_lo.shape[0]
+    smask = culling.unpack_mask(
+        culling.or_blocks_packed(words_packed), n_super
+    )
+    if g == 1:
+        return culling.build_lists(smask, cap=cap)
+    cmask = jnp.repeat(smask, g, axis=1)[:, :n_clusters]
+    o_lo, o_hi, d_lo, d_hi = culling.block_bounds(o2, d2)
+    imask, near = culling.cull_clusters(
+        o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
+    )
+    return culling.build_lists(cmask & imask, cap=cap, near=near)
 
 
 def cast_presorted(scene, o, d, words=None):
@@ -223,20 +268,17 @@ def cast_presorted(scene, o, d, words=None):
 
     o, d: [N, 3] with N a multiple of pallas_intersect.RB; dead lanes must
     already carry degenerate far rays. words: [W, N] int32 row-major exact
-    per-ray cluster masks of the RAY_EPS-offset rays (cluster_masks_packed
-    layout), or None to use the conservative bundle-interval cull. Same
-    cast_ray semantics as every other intersector (RAY_EPS offset + re-add,
-    raytracer.odin:416-430)."""
+    per-ray super masks of the RAY_EPS-offset rays (cluster_masks_packed
+    layout over exact_cull_layout's bits), or None to use the conservative
+    bundle-interval cull. Same cast_ray semantics as every other
+    intersector (RAY_EPS offset + re-add, raytracer.odin:416-430)."""
     from raytracer_odin_tpu.ops import culling
     from raytracer_odin_tpu.ops import pallas_intersect as pi
 
     o = o + d * RAY_EPS
-    n_clusters = scene.cluster_lo.shape[0]
     if words is not None:
-        mask = culling.unpack_mask(
-            culling.or_blocks_packed(words), n_clusters
-        )
-        counts, lists = culling.build_lists(mask, cap=192)
+        g, n_super, _ = exact_cull_layout(scene)
+        counts, lists = _exact_block_lists(scene, words, o, d, g, n_super)
     else:
         o_lo, o_hi, d_lo, d_hi = culling.block_bounds(o, d)
         mask, near = culling.cull_clusters(
@@ -271,13 +313,13 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
     n_clusters = scene.cluster_lo.shape[0]
     # Exact per-ray cull (pallas_intersect.cluster_masks): bit-packed masks
     # ride the coherence sort and OR into exact per-block work lists,
-    # replacing the conservative interval cull. Bounded to scenes whose
-    # mask fits a few sort payload words; larger scenes keep the interval
-    # cull.
-    exact = culled and n_clusters <= MAX_EXACT_CLUSTERS
+    # replacing (small scenes) or refining (two-level, g > 1) the
+    # conservative interval cull. exact_cull_layout keeps the bit count
+    # within the sort-payload word budget at any scene size.
+    exact = culled
     exact_words = None
     if exact:
-        aabb8 = exact_cluster_aabb8(scene)
+        g_exact, n_super, aabb8 = exact_cull_layout(scene)
 
     perm = None
     if sort:
@@ -310,10 +352,10 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
             # union 26.4 clusters vs 89.3 unsorted; approximate single-key
             # signatures measured 41.8 — the full lex order earns its
             # keep, and extra key columns are free, see _lex_sort_keys).
-            words = pi.cluster_masks(aabb8, o2, d2, n_clusters)
+            words = pi.cluster_masks(aabb8, o2, d2, n_super)
             octant = _ray_octant(d2)
             keys, word_slots = _lex_sort_keys(
-                alive_f, octant, words, n_clusters
+                alive_f, octant, words, n_super
             )
             sorted_ops = jax.lax.sort(
                 tuple(keys
@@ -348,19 +390,27 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
             o2 = o.reshape(-1, 3)
             d2 = d.reshape(-1, 3)
         if exact:
-            exact_words, _ = pi.cluster_masks_packed(aabb8, o2, d2, n_clusters)
+            exact_words, _ = pi.cluster_masks_packed(aabb8, o2, d2, n_super)
 
     if culled and exact:
-        # Exact per-block lists: OR-union of the block's per-ray masks.
-        # No interval cull, no nearest-first ordering — the kernel sweeps
-        # its list branch-free, so visit order is irrelevant.
+        # Exact per-block lists: OR-union of the block's per-ray masks
+        # (g > 1: super bits expanded to member clusters and refined by
+        # the interval cull — see _exact_block_lists). The kernel sweeps
+        # its list branch-free, so visit order is irrelevant at g == 1.
         n = o2.shape[0]
         npad = ((n + pi.RB - 1) // pi.RB) * pi.RB
         w_p = exact_words
         if w_p.shape[1] != npad:
             w_p = jnp.pad(w_p, ((0, 0), (0, npad - w_p.shape[1])))
-        mask = culling.unpack_mask(culling.or_blocks_packed(w_p), n_clusters)
-        counts, lists = culling.build_lists(mask, cap=192)
+        o_p, d_p = o2, d2
+        if g_exact > 1 and npad != n:
+            # Pad lanes become degenerate far rays; their blocks' interval
+            # bounds blow up conservatively (never cull a real ray's work).
+            o_p = jnp.pad(o2, ((0, npad - n), (0, 0)), constant_values=BIG)
+            d_p = jnp.pad(d2, ((0, npad - n), (0, 0)))
+        counts, lists = _exact_block_lists(
+            scene, w_p, o_p, d_p, g_exact, n_super
+        )
         t, idx, bu, bv = pi.intersect_culled(
             scene.ptri, counts, lists, o2, d2
         )

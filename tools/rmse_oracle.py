@@ -20,13 +20,26 @@ from rmse_common import CONFIGS, OUT_DIR, load_scene
 def main():
     from raytracer_odin_tpu.oracle import cpu_reference as oracle
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    spp_override = None
+    if "--spp" in args:
+        i = args.index("--spp")
+        spp_override = int(args[i + 1])
+        del args[i:i + 2]
+    only = set(args)
     out = Path(OUT_DIR)
     out.mkdir(parents=True, exist_ok=True)
     for name, scene_name, _w, _h, depth, _cfg, _ss, proxy in CONFIGS:
         if only and name not in only:
             continue
         pw, ph, pspp = proxy
+        if spp_override is not None:
+            # Matched-spp runs (e.g. --spp 1024 to equal TPU_PROXY_SPP):
+            # variance estimates of a heavy-tailed sampler are tail-starved
+            # at low spp (a pixel's estimate misses the rare fireflies it
+            # didn't draw), so cross-spp variance ratios are biased; equal
+            # spp makes both sides' estimators identically distributed.
+            pspp = spp_override
         host, scene = load_scene(scene_name)
         t0 = time.perf_counter()
         mean, var = oracle.render(
