@@ -25,7 +25,7 @@ W, H, DEPTH = 1920, 1080, 8
 SCENE_DIR = "/tmp/bench_scenes"
 
 
-def _measure() -> None:
+def _measure(scene_name: str = "demo") -> None:
     import jax
     import jax.numpy as jnp
 
@@ -38,7 +38,7 @@ def _measure() -> None:
     from raytracer_odin_tpu.models import assets, build
     from raytracer_odin_tpu.render import accum, runtime
 
-    info = assets.generate("demo", SCENE_DIR)
+    info = assets.generate(scene_name, SCENE_DIR)
     host = gltf.read_gltf(info["gltf"])
     scene = build.finish_scene(host)
     fov_x = host.cam.fov_x * (W / H)
@@ -105,7 +105,7 @@ def _measure() -> None:
     )
 
     print(json.dumps({
-        "metric": "demo scene 1080p path tracing throughput (1 chip)",
+        "metric": f"{scene_name} scene 1080p path tracing throughput (1 chip)",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 200.0, 4),
@@ -182,11 +182,11 @@ def _measure_mesh(n_devices: int, n_spp: int) -> None:
     }))
 
 
-def main() -> int:
+def main(scene_name: str = "demo") -> int:
     attempts = 3
     for k in range(attempts):
         proc = subprocess.run(
-            [sys.executable, __file__, "--child"],
+            [sys.executable, __file__, "--child", "--scene", scene_name],
             capture_output=True, text=True, timeout=2400,
         )
         line = ""
@@ -224,8 +224,11 @@ def _mesh_main(n_devices: int, n_spp: int) -> int:
 
 
 if __name__ == "__main__":
+    scene_name = "demo"
+    if "--scene" in sys.argv:
+        scene_name = sys.argv[sys.argv.index("--scene") + 1]
     if "--child" in sys.argv:
-        _measure()
+        _measure(scene_name)
     elif "--mesh-child" in sys.argv:
         i = sys.argv.index("--mesh-child")
         _measure_mesh(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
@@ -237,4 +240,4 @@ if __name__ == "__main__":
             ns = int(sys.argv[sys.argv.index("--spp-devices") + 1])
         sys.exit(_mesh_main(nd, ns))
     else:
-        sys.exit(main())
+        sys.exit(main(scene_name))
