@@ -54,8 +54,21 @@ def main():
                 rec["same_seed_over_indep_floor"] = round(
                     rec["same_seed_rmse"] / max(indep_floor, 1e-12), 3
                 )
+                # Mean-shift z: the image-wide mean of (a - b) averages the
+                # per-pixel noise down by sqrt(Npix), so a systematic energy
+                # bias far smaller than the per-pixel floor is still many
+                # sigma here. This is the test that catches a brightness
+                # bias hiding under a large per-pixel floor (it flagged the
+                # 10.6% cornell TPU excess the floor-ratio gate passed).
+                n_px = d2.size
+                mean_se = indep_floor / np.sqrt(n_px)
+                rec["same_seed_mean_shift"] = float((a - b).mean())
+                rec["same_seed_mean_shift_z"] = round(
+                    float((a - b).mean() / max(mean_se, 1e-12)), 1
+                )
                 rec["same_seed_pass"] = bool(
                     rec["same_seed_over_indep_floor"] < 1.2
+                    and abs(rec["same_seed_mean_shift_z"]) < 6.0
                 )
 
         om = out / f"{name}_oracle_mean.npy"
@@ -66,6 +79,14 @@ def main():
             o_spp = int(np.load(out / f"{name}_oracle_spp.npy"))
             t_mean = np.load(tm).astype(np.float64)
             t_var = np.load(out / f"{name}_tpu_proxy_var.npy").astype(np.float64)
+            if t_mean.shape != o_mean.shape:
+                # One side is stale (e.g. rendered before a proxy-resolution
+                # bump): no comparison rather than a wrong one.
+                rec["oracle_stale_shapes"] = (
+                    f"tpu {t_mean.shape} vs oracle {o_mean.shape}"
+                )
+                lines.append(rec)
+                continue
             diff = t_mean - o_mean
             rmse = float(np.sqrt((diff**2).mean()))
             # Monte-Carlo noise floor of the comparison itself.
@@ -80,15 +101,24 @@ def main():
             rec["noise_floor_rmse"] = floor
             rec["rmse_over_floor"] = round(rmse / max(floor, 1e-12), 3)
             rec["frac_z_gt4"] = float((np.abs(z) > 4).mean())
+            # Image-wide energy-bias test (see same_seed_mean_shift_z).
+            rec["oracle_mean_shift_z"] = round(
+                float(diff.mean() / max(floor / np.sqrt(diff.size), 1e-12)),
+                1,
+            )
             # Firefly check: does the device path carry extra variance?
             lum_t = t_var.mean(-1)
             lum_o = o_var.mean(-1)
             rec["variance_ratio_tpu_over_oracle"] = float(
                 lum_t.mean() / max(lum_o.mean(), 1e-12)
             )
-            # Agreement verdict: means indistinguishable from sampling noise.
+            # Agreement verdict: means indistinguishable from sampling noise
+            # — per-pixel (rmse/floor, z outliers) AND image-wide (no
+            # systematic energy shift many sigma beyond the averaged floor).
             rec["distribution_agrees"] = bool(
-                rec["rmse_over_floor"] < 1.5 and rec["frac_z_gt4"] < 0.005
+                rec["rmse_over_floor"] < 1.5
+                and rec["frac_z_gt4"] < 0.005
+                and abs(rec["oracle_mean_shift_z"]) < 6.0
             )
         lines.append(rec)
 
