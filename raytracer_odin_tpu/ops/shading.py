@@ -72,7 +72,15 @@ def _small_table_lookup(table, idx, max_rows: int = 32):
     onehot = (
         idx[..., None] == jnp.arange(n, dtype=idx.dtype)
     ).astype(table.dtype)
-    return jnp.einsum("...l,lk->...k", onehot, table)
+    # HIGHEST precision is load-bearing: TPU matmuls default to bf16
+    # multiplies, which quantized the looked-up light geometry — sampled
+    # light points then disagreed with the exact-geometry pdf, a
+    # sampling/pdf mismatch measured as a +11% energy bias on cornell
+    # (light panel 0.01 below the ceiling; bf16 moved the plane ~0.002).
+    return jnp.einsum(
+        "...l,lk->...k", onehot, table,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def surface_sample(scene, origin, u_idx, u1, u2):

@@ -58,7 +58,12 @@ def _camera_rays(cam_pos, cam_basis, fov_x, width, height, pixel, jitter):
     ndc_x = x / (width / 2.0) - 1.0
     ndc_y = y / (height / 2.0) - 1.0
     v = jnp.stack([ndc_x * tan_fx, ndc_y * tan_fy, jnp.ones_like(ndc_x)], axis=-1)
-    d = normalize(v @ cam_basis.T, eps=1e-20)
+    # HIGHEST precision: see runtime.generate_rays — TPU's default bf16
+    # matmul would quantize ray directions (and break pool/batch parity).
+    d = normalize(
+        jnp.matmul(v, cam_basis.T, precision=jax.lax.Precision.HIGHEST),
+        eps=1e-20,
+    )
     o = jnp.broadcast_to(cam_pos, d.shape)
     return o, d
 

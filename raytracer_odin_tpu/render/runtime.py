@@ -93,7 +93,14 @@ def generate_rays(cam_pos, cam_basis, fov_x: float, width: int, height: int,
         [ndc_x * tan_fx, ndc_y * jnp.broadcast_to(tan_fy, ndc_x.shape), jnp.ones_like(ndc_x)],
         axis=-1,
     )
-    d = normalize(v @ cam_basis.T, eps=1e-20)
+    # HIGHEST precision: TPU matmuls default to bf16 multiplies, which
+    # would quantize every camera ray direction (and wreck same-seed
+    # CPU-vs-TPU parity from the first cast). The 3x3 basis rotation is
+    # tiny; full f32 costs nothing.
+    d = normalize(
+        jnp.matmul(v, cam_basis.T, precision=jax.lax.Precision.HIGHEST),
+        eps=1e-20,
+    )
     o = jnp.broadcast_to(cam_pos, d.shape)
     return o, d
 
