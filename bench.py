@@ -56,14 +56,24 @@ def _measure(scene_name: str = "demo") -> None:
 
     stats, _ = step(scene, accum.init_stats(1, H, W), key, jnp.int32(0))
     jax.block_until_ready(stats.count)  # warmup / compile
-    # Measurement: 4 windows x 4 steps (16 steps ~ 6+ s of device time).
+    # Settle window: the first post-compile steps can catch one-time costs
+    # (persistent-cache serialization of the ~90MB compiled program, tunnel
+    # reconnects) that have nothing to do with steady-state throughput —
+    # run a few untimed steps before measuring.
+    for s in (1, 2, 3):
+        stats, _ = step(scene, stats, key, jnp.int32(s))
+    jax.block_until_ready(stats.count)
+    # Measurement: 4 windows x 4 steps (16 steps ~ 5+ s of device time).
     # Each window syncs once so a per-window spread can be reported; rays
-    # accumulate on device and are read once at the end.
+    # accumulate on device and are read once at the end. The headline is
+    # the MEDIAN window (the tunneled device occasionally stalls for
+    # hundreds of ms mid-run; the median is the honest steady-state, and
+    # best/worst/mean are all reported in detail).
     n_windows, steps_per_window = 4, 4
     rays_dev = None
     window_s = []
     window_rays = []
-    sample = 1
+    sample = 4
     t0 = time.perf_counter()
     for _w in range(n_windows):
         w0 = time.perf_counter()
@@ -106,10 +116,11 @@ def _measure(scene_name: str = "demo") -> None:
 
     print(json.dumps({
         "metric": f"{scene_name} scene 1080p path tracing throughput (1 chip)",
-        "value": round(mrays, 2),
+        "value": round(median_mrays, 2),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 200.0, 4),
+        "vs_baseline": round(median_mrays / 200.0, 4),
         "detail": {
+            "mean_mrays_all_windows": round(mrays, 2),
             "mean_path_length": round(rays / (W * H * spp), 3),
             "seconds_per_sample": round(dt / spp, 3),
             "steps_measured": n_steps,

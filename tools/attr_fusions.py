@@ -41,11 +41,19 @@ def main() -> None:
     fov_x = host.cam.fov_x * (W / H)
     key = jax.random.PRNGKey(0)
 
+    # Profile exactly what bench.py measures: the dead-lane-compacted step
+    # (pass "--uncompacted" to profile the full-width wavefront instead).
+    compact = "off" if "--uncompacted" in sys.argv else "auto"
     cfg = RenderConfig(
         width=W, height=H, ray_depth=DEPTH, samples=1 << 30,
         samples_per_step=1, debug_features=False, intersector="pallas",
+        compact=compact,
     )
-    step = runtime.make_render_step(cfg, fov_x)
+    schedule = (
+        runtime.auto_lane_schedule(scene, cfg, fov_x)
+        if compact == "auto" else None
+    )
+    step = runtime.make_render_step(cfg, fov_x, lane_schedule=schedule)
 
     stats0 = accum.init_stats(1, H, W)
     # Compiled HLO text for fusion-body attribution.
