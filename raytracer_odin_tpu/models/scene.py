@@ -187,7 +187,8 @@ class DeviceScene:
     light_cluster_lo: Any     # [Cl, 3]
     light_cluster_hi: Any     # [Cl, 3]
     # Pallas intersector data (ops/pallas_intersect.py, ops/culling.py):
-    ptri: Any                 # [Tpad, 12] packed p/u/v rows, LEAF-padded
+    ptri: Any                 # [Tpad, 12|128] packed p/u/v rows, LEAF-padded
+                              # (128-wide = DMA-streamed; pad_triangles)
     cluster_lo: Any           # [C, 3] treelet-cluster AABBs
     cluster_hi: Any           # [C, 3]
     # Hit-shading row: per-triangle shading attributes + the (per-primitive)

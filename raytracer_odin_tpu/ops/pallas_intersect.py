@@ -21,8 +21,10 @@ Kernels:
     (raytracer.odin:371-414): the hierarchy cull happens per coherent ray
     bundle on dense math, not per ray on a stack.
 
-Triangle layout: [Tpad, 12] f32, BVH/perm order padded to a multiple of
-LEAF=64 with degenerate rows; columns = px py pz ux uy uz vx vy vz (3 pad).
+Triangle layout: [Tpad, 12] f32 (VMEM-resident) or [Tpad, 128] f32
+(DMA-streamed; Mosaic HBM slices must be 128-lane aligned), BVH/perm order
+padded to a multiple of LEAF=64 with degenerate rows; columns = px py pz
+ux uy uz vx vy vz (rest pad).
 Ray layout: [8, Npad] f32 rows = ox oy oz dx dy dz (2 pad).
 Output: [8, Npad] f32 rows = t bu bv tri_index (as f32; exact below 2^24).
 """
@@ -383,10 +385,20 @@ def unpack_hits(out, batch_shape, n):
 
 
 def pad_triangles(tri_p, tri_u, tri_v) -> np.ndarray:
-    """Host-side: build the [Tpad, 12] kernel triangle array (numpy)."""
+    """Host-side: build the packed kernel triangle array (numpy).
+
+    Width is the streaming contract: VMEM-resident scenes pack [Tpad, 12]
+    (VMEM economy); scenes above the streaming threshold pack [Tpad, 128]
+    because Mosaic requires HBM slices to be 128-lane aligned — a DMA of a
+    (LEAF, 12) window out of a 12-wide array is an invalid misaligned
+    slice (Mosaic tiles the 12-wide array to 128 lanes physically anyway,
+    so the wide layout costs no extra HBM). `_culled_call` streams iff the
+    array is 128 wide, so build-time and call-time can never disagree.
+    """
     t = np.asarray(tri_p).shape[0]
     tpad = max(((t + LEAF - 1) // LEAF) * LEAF, LEAF)
-    arr = np.zeros((tpad, 12), np.float32)
+    ncols = 128 if tpad > _stream_threshold() else 12
+    arr = np.zeros((tpad, ncols), np.float32)
     arr[:t, 0:3] = np.asarray(tri_p)
     arr[:t, 3:6] = np.asarray(tri_u)
     arr[:t, 6:9] = np.asarray(tri_v)
@@ -409,7 +421,8 @@ def _brute_call(rays, tris, n_clusters: int):
         in_specs=[
             pl.BlockSpec((8, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (tris.shape[0], 12), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (tris.shape[0], tris.shape[1]), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec((8, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -445,7 +458,10 @@ def _stream_threshold() -> int:
 def _culled_call(counts, lists, rays, tris):
     npad = rays.shape[1]
     n_clusters = tris.shape[0] // LEAF
-    stream = tris.shape[0] > _stream_threshold()
+    # Streaming is a property of the packed layout (see pad_triangles):
+    # 128-wide rows live in HBM and are DMA'd per cluster; 12-wide rows
+    # are VMEM-resident.
+    stream = tris.shape[1] == 128
     tris_spec = pl.BlockSpec(
         memory_space=pltpu.ANY if stream else pltpu.VMEM,
     )
@@ -462,7 +478,7 @@ def _culled_call(counts, lists, rays, tris):
         ),
         scratch_shapes=(
             [
-                pltpu.VMEM((2, LEAF, 12), jnp.float32),
+                pltpu.VMEM((2, LEAF, tris.shape[1]), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ]
             if stream

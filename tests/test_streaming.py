@@ -49,14 +49,21 @@ def test_list_cap_overflow_is_correct():
 
 
 def test_streaming_kernel_matches_resident(monkeypatch):
-    """Force the DMA-streamed path on a small scene: identical results."""
-    monkeypatch.setenv("RT_TPU_STREAM_TRIS", "1")
+    """Force the DMA-streamed path on a small scene: identical results.
+
+    Streaming is a build-time property of the packed layout (128-wide
+    rows, pad_triangles), so the threshold is set BEFORE the scene build
+    and the resident comparison uses a separately-built scene."""
     rng = np.random.default_rng(1)
     p, u, v = random_triangles(rng, 200)
+    monkeypatch.setenv("RT_TPU_STREAM_TRIS", "1")
     scene = make_scene(p, u, v)
+    assert scene.ptri.shape[1] == 128  # the streamed (DMA-aligned) layout
     o, d = rays(rng, 600)
     t1, i1, u1, v1 = traverse.cast_rays_pallas(scene, o, d, culled=True)
     monkeypatch.delenv("RT_TPU_STREAM_TRIS")
+    scene = make_scene(p, u, v)
+    assert scene.ptri.shape[1] == 12  # VMEM-resident layout
     t0, i0, u0, v0 = traverse.cast_rays_pallas(scene, o, d, culled=True)
     assert np.array_equal(np.asarray(i0), np.asarray(i1))
     hit = np.asarray(i0) >= 0
