@@ -200,6 +200,29 @@ def light_pdf_sum_culled(scene, o, d, cap: int = 128):
     )
     counts, lists = culling.build_lists(mask, cap=cap)
     rays, _, _ = pi.pack_rays(o2, d2)
-    out = _culled_call(counts, lists, rays, scene.light_rows)
+    # Scalar-prefetch lists live in SMEM (~1 MB): chunk ray blocks exactly
+    # like pallas_intersect.intersect_culled — at 1080p the unchunked
+    # counts+lists (4050 blocks x (cap+1) i32) are ~2 MB and crash the
+    # device, which a small render never exercises.
+    nb = npad // pi.RB
+    max_blocks = max(64, pi.SMEM_BUDGET_BYTES // (4 * (cap + 1)))
+    if nb <= max_blocks:
+        out = _culled_call(counts, lists, rays, scene.light_rows)
+    else:
+        n_chunks = -(-nb // max_blocks)
+        per = -(-nb // n_chunks)
+        pieces = []
+        for s in range(0, nb, per):
+            e = min(nb, s + per)
+            pieces.append(
+                _culled_call(
+                    counts[s:e], lists[s:e],
+                    jax.lax.slice_in_dim(
+                        rays, s * pi.RB, e * pi.RB, axis=1
+                    ),
+                    scene.light_rows,
+                )
+            )
+        out = jnp.concatenate(pieces, axis=1)
     total = out[0, :n].reshape(batch_shape)
     return total / n_lights

@@ -156,3 +156,29 @@ def test_citynight_scene_uses_culled_lights(monkeypatch):
     fin = np.isfinite(a).all(-1) & np.isfinite(b).all(-1)
     assert fin.mean() > 0.9
     np.testing.assert_allclose(a[fin], b[fin], rtol=5e-4, atol=1e-5)
+
+
+def test_culled_chunks_when_smem_exceeded(monkeypatch):
+    """Force the SMEM chunking path (ray-block count above the per-call
+    budget) and check it matches the unchunked result exactly. At 1080p
+    the unchunked counts+lists (4050 blocks x cap+1 i32 in scalar-prefetch
+    SMEM) are ~2 MB and crash the real device — chunking is what runs."""
+    scene = grid_light_scene(6, 6)
+    rng = np.random.default_rng(7)
+    from raytracer_odin_tpu.ops import pallas_intersect as pi
+
+    n = 66 * pi.RB  # above the 64-block chunking floor
+    o = jnp.asarray(
+        rng.uniform([0, 2.0, 0], [12, 6.0, 12], (n, 3)), jnp.float32
+    )
+    d = rng.normal(size=(n, 3))
+    d[:, 1] = -np.abs(d[:, 1]) - 0.1
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+
+    whole = np.asarray(light_cull.light_pdf_sum_culled(scene, o, d))
+    # tiny budget -> max_blocks floors at 64 -> 66 blocks split in two calls
+    monkeypatch.setattr(pi, "SMEM_BUDGET_BYTES", 4)
+    chunked = np.asarray(light_cull.light_pdf_sum_culled(scene, o, d))
+    fin = np.isfinite(whole)
+    assert np.array_equal(np.isfinite(chunked), fin)
+    np.testing.assert_array_equal(chunked[fin], whole[fin])
