@@ -2,6 +2,7 @@
 parity, PIL cross-checks of the from-scratch PNG decoder."""
 
 import io
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -166,6 +167,31 @@ def test_jpeg_progressive_raises_and_falls_back():
     # decode_image falls back to PIL transparently
     li = images.decode_image(data)
     assert li.data.shape == img.shape
+
+
+def test_textured_scene_builds_without_pil(tmp_path):
+    """BASELINE config 3 ships a JPEG floor texture (assets.py cfg3); the
+    whole generate -> glTF ingest -> decode chain must work with PIL absent
+    (VERDICT r2 item 7 done-criterion). Encoder and decoder are both the
+    from-scratch io/jpeg.py codec."""
+    import unittest.mock
+
+    from raytracer_odin_tpu.io import gltf
+    from raytracer_odin_tpu.models import assets
+
+    with unittest.mock.patch.dict(
+        "sys.modules", {"PIL": None, "PIL.Image": None}
+    ):
+        info = assets.generate("textured", tmp_path)
+        text = Path(info["gltf"]).read_text()
+        assert "data:image/jpeg" in text  # the scene really carries a JPEG
+        host = gltf.read_gltf(info["gltf"])
+    assert len(host.textures) >= 2  # JPEG checker + PNG/normal maps
+    # The JPEG checker is LDR RGB: present and plausibly decoded.
+    assert any(
+        not t.is_hdr and t.data.shape[-1] == 3 and 0.0 < t.data.mean() < 1.0
+        for t in host.textures
+    )
 
 
 def test_jpeg_decode_image_uses_from_scratch():
