@@ -39,8 +39,12 @@ SCENE_DIR = "/tmp/baseline_scenes"
 
 # name, scene, W, H, depth, cfg_spp, same_seed_spp, proxy (w, h, spp)
 CONFIGS = [
-    ("cfg1_cube", "cube", 256, 256, 2, 16, 16, (128, 96, 256)),
-    ("cfg2_cornell", "cornell", 512, 512, 6, 64, 16, (128, 96, 96)),
+    # cfg1/cfg2 oracle spp run deep (cheap scenes: seconds/iter) — at 96 spp
+    # the per-pixel variance *estimate* is noisy enough on cornell's heavy
+    # firefly tails to inflate the z-scores (frac_z_gt4 read 0.0060 at 96
+    # spp); 1024 spp calibrates the floor map properly.
+    ("cfg1_cube", "cube", 256, 256, 2, 16, 16, (128, 96, 1024)),
+    ("cfg2_cornell", "cornell", 512, 512, 6, 64, 16, (128, 96, 1024)),
     ("cfg3_textured", "textured", 800, 600, 8, 128, 8, (128, 96, 96)),
     ("cfg4_envmap", "envmap", 1024, 768, 8, 256, 8, (128, 96, 96)),
     ("cfg5_demo", "demo", 1920, 1080, 8, 256, 2, (128, 72, 96)),
