@@ -254,7 +254,8 @@ def _shade_vertex(scene, o, d, t, tri_idx, alive, bu, bv, uniforms, opts,
             ev, hit, missed)
 
 
-def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None):
+def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None,
+          stream_base=None):
     """Trace radiance for a batch of rays.
 
     Args:
@@ -268,6 +269,12 @@ def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None):
       opts: static trace options.
       stream_ids: [...] int32 unique per-lane stream ids (e.g. the global
         pixel index). Defaults to the flattened lane position.
+      stream_base: optional scalar promise that
+        ``stream_ids.ravel() == stream_base + arange(n_lanes)`` (true for
+        full frames and row-contiguous tile shards). The compacted path
+        then recomputes stream ids from the carried lane id instead of
+        paying a sort-payload column for them (TPU lax.sort cost is
+        proportional to total operand columns).
 
     Returns (radiance [..., 3], aux dict). aux always carries "rays_cast"
     (int32 scalar: live path segments actually cast); the AOV entries are
@@ -281,7 +288,9 @@ def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None):
         stream_ids = jnp.arange(n_lanes, dtype=jnp.int32).reshape(batch_shape)
 
     if opts.lane_schedule is not None and _compaction_applies(opts):
-        return _trace_compacted(scene, o, d, rng, opts, stream_ids)
+        return _trace_compacted(
+            scene, o, d, rng, opts, stream_ids, stream_base=stream_base
+        )
 
     has_lights = scene.light_p.shape[0] > 0
     env_tex = scene.env_tex
@@ -436,7 +445,8 @@ def _compaction_applies(opts: TraceOptions) -> bool:
     return opts.intersector == "auto" and jax.default_backend() != "cpu"
 
 
-def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids):
+def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
+                     stream_base=None):
     """Dead-lane-compacted wavefront (TraceOptions.lane_schedule).
 
     Identical physics to `trace` (shared `_shade_vertex`/`eval_bounce`) and
@@ -496,7 +506,11 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids):
     o2, d2 = flat(o), flat(d)
     thr, rad = flat(throughput), flat(radiance)
     alive = flat(alive)
-    stream = flat(stream_ids)
+    # With an affine stream promise the per-lane stream id is a pure
+    # function of the carried lane id (stream_base + iota), so it rides the
+    # sorts for free instead of costing a payload column per bounce.
+    affine = stream_base is not None
+    stream = None if affine else flat(stream_ids)
     iota = jnp.arange(n0p, dtype=jnp.int32)
     pad = n0p - n0
     if pad:
@@ -505,7 +519,8 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids):
         thr = jnp.pad(thr, ((0, pad), (0, 0)))
         rad = jnp.pad(rad, ((0, pad), (0, 0)))
         alive = jnp.pad(alive, (0, pad))  # False
-        stream = jnp.pad(stream, (0, pad))
+        if not affine:
+            stream = jnp.pad(stream, (0, pad))
 
     # Exact per-ray masks at any scene size: bits cover super-clusters of
     # g_exact clusters (traverse.exact_cull_layout; g_exact == 1 for small
@@ -534,8 +549,8 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids):
             d_dead[:, 0], d_dead[:, 1], d_dead[:, 2],
             thr[:, 0], thr[:, 1], thr[:, 2],
             rad[:, 0], rad[:, 1], rad[:, 2],
-            stream, iota,
-        )
+            iota,
+        ) + (() if affine else (stream,))
         words = pi.cluster_masks(aabb8, o_off, d_dead, n_super)
         keys, word_slots = traverse._lex_sort_keys(
             alive, octant, words, n_super
@@ -554,7 +569,7 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids):
 
         # The tail is dead (or overflow, which poisons the render): its
         # radiance is final — retire it for the scatter-free merge.
-        retired_iota.append(vals[13][s_width:])
+        retired_iota.append(vals[12][s_width:])
         retired_rad.append(
             jnp.stack(
                 [vals[9][s_width:], vals[10][s_width:], vals[11][s_width:]],
@@ -566,8 +581,11 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids):
         d2 = jnp.stack([v[:s_width] for v in vals[3:6]], axis=-1)
         thr = jnp.stack([v[:s_width] for v in vals[6:9]], axis=-1)
         rad = jnp.stack([v[:s_width] for v in vals[9:12]], axis=-1)
-        stream = vals[12][:s_width]
-        iota = vals[13][:s_width]
+        iota = vals[12][:s_width]
+        stream = (
+            jnp.asarray(stream_base, jnp.int32) + iota
+            if affine else vals[13][:s_width]
+        )
         alive = jnp.arange(s_width, dtype=jnp.int32) < n_alive
         width = s_width
 

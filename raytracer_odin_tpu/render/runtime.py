@@ -125,7 +125,10 @@ def sample_pass(scene, base_key, sample, fov_x: float, width: int,
         scene.cam_pos, scene.cam_basis, fov_x, width, height, jitter,
         row_offset=row_offset, n_rows=n_rows,
     )
-    return trace(scene, o, d, (base_key, sample), opts, stream_ids=stream_ids)
+    # Row-contiguous windows have affine stream ids (row_offset*W + lane):
+    # the promise lets the compacted trace drop the stream sort column.
+    return trace(scene, o, d, (base_key, sample), opts,
+                 stream_ids=stream_ids, stream_base=row_offset * width)
 
 
 # ---------------------------------------------------------------------------
