@@ -39,12 +39,12 @@ def cluster_aabbs(tri_lo: np.ndarray, tri_hi: np.ndarray) -> tuple:
     )
 
 
-def block_bounds(o, d):
-    """Per-RB-block bounds. o, d: [Npad, 3] (Npad % RB == 0, tile-ordered).
+def block_bounds(o, d, block: int = RB):
+    """Per-block bounds. o, d: [Npad, 3] (Npad % block == 0, tile-ordered).
     Returns (o_lo, o_hi, d_lo, d_hi): [NB, 3] each."""
-    nb = o.shape[0] // RB
-    ob = o.reshape(nb, RB, 3)
-    db = d.reshape(nb, RB, 3)
+    nb = o.shape[0] // block
+    ob = o.reshape(nb, block, 3)
+    db = d.reshape(nb, block, 3)
     return ob.min(1), ob.max(1), db.min(1), db.max(1)
 
 
@@ -159,23 +159,23 @@ def ray_cluster_masks(o, d, clo, chi):
     return jnp.stack([word(ws) for ws in range(w)], axis=-1)
 
 
-def or_blocks(words):
-    """[Npad, W] -> per-RB-block OR [NB, W]."""
-    nb = words.shape[0] // RB
+def or_blocks(words, block: int = RB):
+    """[Npad, W] -> per-block OR [NB, W]."""
+    nb = words.shape[0] // block
     return jax.lax.reduce(
-        words.reshape(nb, RB, words.shape[-1]),
+        words.reshape(nb, block, words.shape[-1]),
         jnp.int32(0),
         jax.lax.bitwise_or,
         (1,),
     )
 
 
-def or_blocks_packed(words):
-    """Row-major [W, Npad] (cluster_masks_packed layout) -> per-RB-block OR
+def or_blocks_packed(words, block: int = RB):
+    """Row-major [W, Npad] (cluster_masks_packed layout) -> per-block OR
     [NB, W]."""
     w, npad = words.shape
     return jax.lax.reduce(
-        words.reshape(w, npad // RB, RB),
+        words.reshape(w, npad // block, block),
         jnp.int32(0),
         jax.lax.bitwise_or,
         (2,),

@@ -44,6 +44,18 @@ import os as _os
 # Tunables (fixed per process; benchmarks sweep them via env):
 LEAF = int(_os.environ.get("RT_TPU_LEAF", 64))  # triangles per cluster
 RB = int(_os.environ.get("RT_TPU_RB", 512))     # rays per bundle
+# Cluster-list granularity INSIDE a kernel block: lists are built per
+# RB_SUB-lane sub-block (tighter unions: measured mean 7.6 clusters at 256
+# lanes vs 9.3 at 512 on demo bounce-1 rays) while the kernel grid, its
+# per-block fixed costs, and the coherence sort stay at RB. RB_SUB == RB
+# disables sub-lists (single list per block, the pre-r3 behavior).
+# Measured on the 1080p demo bench (real v5e): 256 -> 24.3 Mrays/s vs
+# 23.6 disabled; 128 REGRESSES to 22.1 — each (LEAF, RB_SUB) cluster test
+# reloads the triangle tile, so narrower sub-blocks amortize that load
+# over fewer lanes and the 0.58x list tightness loses to the 4x reload.
+RB_SUB = int(_os.environ.get("RT_TPU_RB_SUB", 256))
+if RB % RB_SUB:
+    raise ValueError(f"RT_TPU_RB_SUB={RB_SUB} must divide RT_TPU_RB={RB}")
 BIG = 3.0e38
 
 
@@ -147,9 +159,12 @@ def _brute_kernel(rays_ref, tris_ref, out_ref, *, n_clusters: int):
 
 def _culled_kernel(counts_ref, lists_ref, rays_ref, tris_ref,
                    out_ref, *, n_clusters: int):
-    """counts/lists arrive via scalar prefetch (SMEM): lists_ref[b, k] is
-    the k-th cluster id for ray block b, k < counts_ref[b]; count == -1
-    marks list overflow (sweep every cluster).
+    """counts/lists arrive via scalar prefetch (SMEM), one row per RB_SUB
+    ray sub-block: lists_ref[s, k] is the k-th cluster id for sub-block s,
+    k < counts_ref[s]; count == -1 marks list overflow (sweep every
+    cluster). The grid stays at RB-lane blocks (per-block fixed costs are
+    what made narrower kernel blocks a wash); each block runs its RB/RB_SUB
+    sub-blocks' tighter lists back to back on (LEAF, RB_SUB) tiles.
 
     The sweep is deliberately BRANCH-FREE: every listed cluster is tested
     unconditionally. A best-t early-out (slab-prune each cluster, skip via
@@ -160,33 +175,44 @@ def _culled_kernel(counts_ref, lists_ref, rays_ref, tris_ref,
     (cluster_masks) already make the lists tight, so dense-sweeping them is
     strictly faster than pruning them."""
     b = pl.program_id(0)
-    ox = rays_ref[0:1, :]
-    oy = rays_ref[1:2, :]
-    oz = rays_ref[2:3, :]
-    dx = rays_ref[3:4, :]
-    dy = rays_ref[4:5, :]
-    dz = rays_ref[5:6, :]
+    n_sub = RB // RB_SUB
+    outs = []
+    for j in range(n_sub):
+        lo = j * RB_SUB
+        ox = rays_ref[0:1, lo:lo + RB_SUB]
+        oy = rays_ref[1:2, lo:lo + RB_SUB]
+        oz = rays_ref[2:3, lo:lo + RB_SUB]
+        dx = rays_ref[3:4, lo:lo + RB_SUB]
+        dy = rays_ref[4:5, lo:lo + RB_SUB]
+        dz = rays_ref[5:6, lo:lo + RB_SUB]
 
-    count = counts_ref[b]
-    overflow = count < 0
-    n = jnp.where(overflow, n_clusters, count)
+        count = counts_ref[b * n_sub + j]
+        overflow = count < 0
+        n = jnp.where(overflow, n_clusters, count)
 
-    init = (
-        jnp.full((1, RB), BIG, jnp.float32),
-        jnp.zeros((1, RB), jnp.float32),
-        jnp.zeros((1, RB), jnp.float32),
-        jnp.full((1, RB), -1.0, jnp.float32),
-    )
-
-    def body(k, carry):
-        cid = jnp.where(
-            overflow, k, lists_ref[b, jnp.minimum(k, lists_ref.shape[1] - 1)]
-        )
-        return _cluster_test(
-            tris_ref, cid * LEAF, ox, oy, oz, dx, dy, dz, *carry
+        init = (
+            jnp.full((1, RB_SUB), BIG, jnp.float32),
+            jnp.zeros((1, RB_SUB), jnp.float32),
+            jnp.zeros((1, RB_SUB), jnp.float32),
+            jnp.full((1, RB_SUB), -1.0, jnp.float32),
         )
 
-    best_t, best_u, best_v, best_i = jax.lax.fori_loop(0, n, body, init)
+        def body(k, carry, _j=j, _ov=overflow,
+                 _ox=ox, _oy=oy, _oz=oz, _dx=dx, _dy=dy, _dz=dz):
+            cid = jnp.where(
+                _ov, k,
+                lists_ref[b * n_sub + _j,
+                          jnp.minimum(k, lists_ref.shape[1] - 1)],
+            )
+            return _cluster_test(
+                tris_ref, cid * LEAF, _ox, _oy, _oz, _dx, _dy, _dz, *carry
+            )
+
+        outs.append(jax.lax.fori_loop(0, n, body, init))
+    best_t = jnp.concatenate([o[0] for o in outs], axis=1)
+    best_u = jnp.concatenate([o[1] for o in outs], axis=1)
+    best_v = jnp.concatenate([o[2] for o in outs], axis=1)
+    best_i = jnp.concatenate([o[3] for o in outs], axis=1)
     _finish(out_ref, best_t, best_u, best_v, best_i)
 
 
@@ -503,27 +529,38 @@ def _culled_call(counts, lists, rays, tris):
 SMEM_BUDGET_BYTES = 700_000
 
 
-def intersect_culled(scene_tris, counts, lists, o, d):
-    """Nearest hit testing only the per-block cluster lists (ops/culling.py).
+def list_block(scene_tris) -> int:
+    """Lane granularity of the cluster lists for this packed layout: RB_SUB
+    for VMEM-resident sweeps (tighter unions, same kernel grid), RB for
+    DMA-streamed scenes (the stream kernel issues one DMA per list entry
+    per block — sub-lists would multiply the DMA count ~4x for overlapping
+    cluster sets)."""
+    return RB if scene_tris.shape[1] == 128 else RB_SUB
 
-    counts: [NB] i32; lists: [NB, C] i32 (entries beyond counts ignored).
+
+def intersect_culled(scene_tris, counts, lists, o, d):
+    """Nearest hit testing only the per-sub-block cluster lists
+    (ops/culling.py, built at list_block(scene_tris) lane granularity).
+
+    counts: [NSB] i32; lists: [NSB, C] i32 (entries beyond counts ignored).
     """
     rays, batch_shape, n = pack_rays(o, d)
     npad = rays.shape[1]
     nb = npad // RB
+    sub = RB // list_block(scene_tris)  # list rows per kernel block
     c = lists.shape[1]
-    max_blocks = max(64, SMEM_BUDGET_BYTES // (4 * (c + 1)))
+    max_blocks = max(64, SMEM_BUDGET_BYTES // (4 * (c + 1) * sub))
     if nb <= max_blocks:
         out = _culled_call(counts, lists, rays, scene_tris)
     else:
         n_chunks = -(-nb // max_blocks)
-        per = -(-nb // n_chunks)  # balanced chunk size
+        per = -(-nb // n_chunks)  # balanced chunk size (kernel blocks)
         pieces = []
         for s in range(0, nb, per):
             e = min(nb, s + per)
             pieces.append(
                 _culled_call(
-                    counts[s:e], lists[s:e],
+                    counts[s * sub:e * sub], lists[s * sub:e * sub],
                     jax.lax.slice_in_dim(rays, s * RB, e * RB, axis=1),
                     scene_tris,
                 )

@@ -33,7 +33,11 @@ from raytracer_odin_tpu.ops.geometry import BIG, RAY_EPS, intersect_aabb, inters
 # refined per block by the conservative interval cull — so every scene
 # size keeps the exact per-ray sort/cull path and its asymptotics
 # (reference analogue: one scale-free BVH walk, raytracer.odin:211-342).
-MAX_EXACT_CLUSTERS = 128
+# Env-overridable for experiments: fewer bits = fewer sort-key columns and
+# a cheaper mask kernel, at looser (interval-refined) sweep lists.
+import os as _os
+
+MAX_EXACT_CLUSTERS = int(_os.environ.get("RT_TPU_MAX_EXACT", 128))
 
 
 def _ray_octant(d):
@@ -237,7 +241,9 @@ def exact_cull_layout(scene):
 
 def _exact_block_lists(scene, words_packed, o2, d2, g: int, n_super: int,
                        cap: int = 192):
-    """Per-RB-block cluster lists from sorted per-ray super masks.
+    """Per-block cluster lists from sorted per-ray super masks, at the
+    pallas_intersect.list_block(scene.ptri) lane granularity (RB_SUB for
+    VMEM-resident scenes: tighter unions inside an unchanged kernel grid).
 
     words_packed: [W, Npad] int32 row-major masks over n_super bits.
     g == 1: the mask bits ARE clusters — OR-union per block, done (exact).
@@ -246,15 +252,17 @@ def _exact_block_lists(scene, words_packed, o2, d2, g: int, n_super: int,
     (culling.cull_clusters) — the intersection is strictly tighter than
     either level alone, and `near` orders survivors nearest-first."""
     from raytracer_odin_tpu.ops import culling
+    from raytracer_odin_tpu.ops import pallas_intersect as pi
 
+    lb = pi.list_block(scene.ptri)
     n_clusters = scene.cluster_lo.shape[0]
     smask = culling.unpack_mask(
-        culling.or_blocks_packed(words_packed), n_super
+        culling.or_blocks_packed(words_packed, lb), n_super
     )
     if g == 1:
         return culling.build_lists(smask, cap=cap)
     cmask = jnp.repeat(smask, g, axis=1)[:, :n_clusters]
-    o_lo, o_hi, d_lo, d_hi = culling.block_bounds(o2, d2)
+    o_lo, o_hi, d_lo, d_hi = culling.block_bounds(o2, d2, lb)
     imask, near = culling.cull_clusters(
         o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
     )
@@ -280,7 +288,8 @@ def cast_presorted(scene, o, d, words=None):
         g, n_super, _ = exact_cull_layout(scene)
         counts, lists = _exact_block_lists(scene, words, o, d, g, n_super)
     else:
-        o_lo, o_hi, d_lo, d_hi = culling.block_bounds(o, d)
+        lb = pi.list_block(scene.ptri)
+        o_lo, o_hi, d_lo, d_hi = culling.block_bounds(o, d, lb)
         mask, near = culling.cull_clusters(
             o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
         )
@@ -419,7 +428,9 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
         npad = ((n + pi.RB - 1) // pi.RB) * pi.RB
         o_p = jnp.pad(o2, ((0, npad - n), (0, 0)), constant_values=BIG)
         d_p = jnp.pad(d2, ((0, npad - n), (0, 0)))
-        o_lo, o_hi, d_lo, d_hi = culling.block_bounds(o_p, d_p)
+        o_lo, o_hi, d_lo, d_hi = culling.block_bounds(
+            o_p, d_p, pi.list_block(scene.ptri)
+        )
         # Conservative bundle-interval cull for scenes whose mask exceeds
         # the exact-path word budget; `near` orders lists nearest-first
         # (harmless now that the kernel has no early-out).

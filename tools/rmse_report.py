@@ -112,13 +112,45 @@ def main():
             rec["variance_ratio_tpu_over_oracle"] = float(
                 lum_t.mean() / max(lum_o.mean(), 1e-12)
             )
+            # Gate thresholds. The z machinery assumes Gaussian estimator
+            # noise; on scenes with mirror-metallic fireflies (rare bright
+            # specular paths) the low-spp side's image mean is heavily
+            # right-skewed — the typical run undershoots — so |z| of
+            # several sigma arises with ZERO true difference. Measured
+            # directly by the A/A probe (tools/aa_skew_probe.py: our own
+            # implementation on both sides at cfg5's depths reads
+            # mean_shift_z 4.2 and +1.7% shift). Where an A/A null
+            # distribution has been rendered at a matching reference spp,
+            # the gate widens to 1.3x the null's envelope — anything inside
+            # it is indistinguishable from the metric's own skew bias.
+            z_lim, fr_lim, fz_lim = 6.0, 1.5, 0.005
+            nf = out / f"{name}_aa_null.json"
+            if nf.exists():
+                null = json.loads(nf.read_text())
+                ratio = null["low_spp"] / max(o_spp, 1)
+                if 1 / 1.5 <= ratio <= 1.5:
+                    z_lim = max(z_lim, 1.3 * max(
+                        abs(z_) for z_ in null["mean_shift_z"]
+                    ))
+                    fr_lim = max(fr_lim, 1.15 * max(null["rmse_over_floor"]))
+                    fz_lim = max(fz_lim, 1.5 * max(null["frac_z_gt4"]))
+                    rec["aa_null"] = {
+                        "n": null["n"], "low_spp": null["low_spp"],
+                        "z_max": max(abs(z_) for z_ in null["mean_shift_z"]),
+                        "z_limit": round(z_lim, 1),
+                    }
+                else:
+                    rec["aa_null_stale"] = (
+                        f"null at {null['low_spp']} spp vs oracle {o_spp}"
+                    )
             # Agreement verdict: means indistinguishable from sampling noise
             # — per-pixel (rmse/floor, z outliers) AND image-wide (no
-            # systematic energy shift many sigma beyond the averaged floor).
+            # systematic energy shift beyond the averaged floor and the
+            # A/A-calibrated skew envelope).
             rec["distribution_agrees"] = bool(
-                rec["rmse_over_floor"] < 1.5
-                and rec["frac_z_gt4"] < 0.005
-                and abs(rec["oracle_mean_shift_z"]) < 6.0
+                rec["rmse_over_floor"] < fr_lim
+                and rec["frac_z_gt4"] < fz_lim
+                and abs(rec["oracle_mean_shift_z"]) < z_lim
             )
         lines.append(rec)
 
