@@ -43,8 +43,15 @@ def run_render() -> None:
     cfg = RenderConfig(
         width=W, height=H, ray_depth=DEPTH, samples=1 << 30,
         samples_per_step=1, debug_features=False, intersector="pallas",
+        # Profile exactly what bench.py measures: the dead-lane-compacted
+        # step (pass "--uncompacted" for the full-width wavefront).
+        compact="off" if "--uncompacted" in sys.argv else "auto",
     )
-    step = runtime.make_render_step(cfg, fov_x)
+    schedule = (
+        runtime.auto_lane_schedule(scene, cfg, fov_x)
+        if cfg.compact == "auto" else None
+    )
+    step = runtime.make_render_step(cfg, fov_x, lane_schedule=schedule)
     stats, _ = step(scene, accum.init_stats(1, H, W), key, jnp.int32(0))
     jax.block_until_ready(stats.count)  # compile + warmup
 
@@ -52,7 +59,10 @@ def run_render() -> None:
         for i in range(STEPS):
             stats, rays = step(scene, stats, key, jnp.int32(1 + i))
         jax.block_until_ready(stats.count)
-    print(f"rays per step: {int(rays)}")
+    import numpy as _np
+
+    # compacted steps return int32[2] = (rays, overflow)
+    print(f"rays per step: {int(_np.asarray(rays).ravel()[0])}")
 
 
 CATEGORIES = [
@@ -134,5 +144,6 @@ def parse_trace() -> None:
 
 
 if __name__ == "__main__":
-    run_render()
+    if "--parse-only" not in sys.argv:
+        run_render()
     parse_trace()
