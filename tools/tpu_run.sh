@@ -1,9 +1,11 @@
 #!/bin/bash
 # Serialize TPU work against the flaky tunnel: probe with a tiny op until the
-# device responds, then exec the real script. Usage: tools/tpu_run.sh script.py [out]
+# device responds, then exec the real script.
+# Usage: tools/tpu_run.sh script.py [out] [script args...]
 set -u
 SCRIPT="$1"
 OUT="${2:-/dev/stdout}"
+shift; [ $# -gt 0 ] && shift
 for attempt in $(seq 1 12); do
   if timeout 90 python - <<'EOF' >/dev/null 2>&1
 import jax, jax.numpy as jnp
@@ -11,7 +13,7 @@ import jax, jax.numpy as jnp
 EOF
   then
     REPO="$(cd "$(dirname "$0")/.." && pwd)"
-    PYTHONPATH="$REPO:${PYTHONPATH:-}" exec python "$SCRIPT" > "$OUT" 2>&1
+    PYTHONPATH="$REPO:${PYTHONPATH:-}" exec python "$SCRIPT" "$@" > "$OUT" 2>&1
   fi
   echo "[tpu_run] device not responding (attempt $attempt); cooling down" >&2
   sleep 150
