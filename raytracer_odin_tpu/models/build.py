@@ -197,6 +197,13 @@ def finish_scene(host: HostScene, env_map: HostTexture | None = None,
         # f32 texels: bf16 pages were measured slower (TPU gathers move
         # 32-bit lanes; see the shade_row note above).
         tex_texels=f32(atlas["tex_texels"]),
+        # sRGB-sampled kinds are color (0) and emission (1) only; scenes
+        # without them skip the decoded pool's HBM entirely.
+        tex_texels_srgb=f32(
+            texture_mod.srgb_decode_pool(atlas["tex_texels"])
+            if (tex_kinds[0] or tex_kinds[1])
+            else np.ones((1, 16), np.float32)
+        ),
         tex_offset=i32(atlas["tex_offset"]),
         tex_width=i32(atlas["tex_width"]),
         tex_height=i32(atlas["tex_height"]),

@@ -169,7 +169,11 @@ class DeviceScene:
     mat_roughness: Any        # [M]
     mat_tex: Any              # [M, 4] i32: color, emission, mr, normal (-1 none)
     # Texture atlas:
-    tex_texels: Any           # [P, 4] f32 flat texel pool
+    tex_texels: Any           # [P, 16] f32 flat quad-packed texel pool
+    # Pre-decoded sRGB view of the pool (ops/texture.srgb_decode_pool):
+    # sampled by srgb=True taps. A [1, 16] dummy when no material uses
+    # color/emission textures (the only sRGB-sampled kinds).
+    tex_texels_srgb: Any      # [P, 16] or [1, 16] f32
     tex_offset: Any           # [K] i32
     tex_width: Any            # [K] i32
     tex_height: Any           # [K] i32

@@ -48,6 +48,19 @@ def block_bounds(o, d, block: int = RB):
     return ob.min(1), ob.max(1), db.min(1), db.max(1)
 
 
+def block_bounds_rows(rays, block: int = RB):
+    """block_bounds for rays already packed as [8, Npad] kernel rows
+    (rows 0-2 = origin, 3-5 = direction): the per-block min/max reduces run
+    on the row layout directly instead of paying an [N, 3] transpose."""
+    nb = rays.shape[1] // block
+    o = rays[0:3].reshape(3, nb, block)
+    d = rays[3:6].reshape(3, nb, block)
+    return (
+        o.min(axis=2).T, o.max(axis=2).T,
+        d.min(axis=2).T, d.max(axis=2).T,
+    )
+
+
 def cull_clusters(o_lo, o_hi, d_lo, d_hi, clo, chi):
     """Conservative bundle-vs-AABB test. Returns hit mask [NB, C].
 

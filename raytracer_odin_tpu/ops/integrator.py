@@ -106,12 +106,21 @@ def _point_material(scene, o, d, t, tri_idx, bu, bv):
         s = spec[name]
         return row[..., s:s + width]
 
+    def vblk(name, i, k):
+        # i-th k-wide vertex attribute of a 3-vertex block: a direct lane
+        # sub-slice. Interpolations combine these immediately so the slices
+        # fuse into the weighted sum — a [..., 3, k] reshape between slice
+        # and sum forces XLA to materialize each slice as its own relayout
+        # pass (trace-measured ~18 ms/step at 1080p across the bounces).
+        s = spec[name] + i * k
+        return row[..., s:s + k]
+
     pos = o + d * t[..., None]
 
     if "texids" in spec:
-        tex = blk("tex", 6).reshape(ti.shape + (3, 2))
         texcoords = (
-            tex[..., 0, :] * w0 + tex[..., 1, :] * w1 + tex[..., 2, :] * w2
+            vblk("tex", 0, 2) * w0 + vblk("tex", 1, 2) * w1
+            + vblk("tex", 2, 2) * w2
         )
         mtex = blk("texids", 4).astype(jnp.int32)
     else:
@@ -129,9 +138,8 @@ def _point_material(scene, o, d, t, tri_idx, bu, bv):
         if kinds[1] else ones
     )
 
-    tri_n = blk("n", 9).reshape(ti.shape + (3, 3))
     n_interp = (
-        tri_n[..., 0, :] * w0 + tri_n[..., 1, :] * w1 + tri_n[..., 2, :] * w2
+        vblk("n", 0, 3) * w0 + vblk("n", 1, 3) * w1 + vblk("n", 2, 3) * w2
     )
     n_smooth = normalize(n_interp, eps=1e-20)
 
@@ -139,10 +147,9 @@ def _point_material(scene, o, d, t, tri_idx, bu, bv):
         # Normal mapping branch (raytracer.odin:458-470): the interpolated
         # tangent4 is normalized as a 4-vector (faithful to the reference,
         # including the resulting non-orthonormal basis).
-        tri_tan = blk("tan", 12).reshape(ti.shape + (3, 4))
         tan4 = (
-            tri_tan[..., 0, :] * w0 + tri_tan[..., 1, :] * w1
-            + tri_tan[..., 2, :] * w2
+            vblk("tan", 0, 4) * w0 + vblk("tan", 1, 4) * w1
+            + vblk("tan", 2, 4) * w2
         )
         tan4 = tan4 / jnp.maximum(
             jnp.sqrt(jnp.sum(tan4 * tan4, axis=-1, keepdims=True)), 1e-20
@@ -542,18 +549,27 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
         # Dead lanes become degenerate far rays: empty masks, dead-last sort.
         o_dead = jnp.where(alive[:, None], o2, far_o)
         d_dead = jnp.where(alive[:, None], d2, unit_x)
-        o_off = o_dead + d_dead * RAY_EPS
         octant = traverse._ray_octant(d_dead)
+        ocx, ocy, ocz = o_dead[:, 0], o_dead[:, 1], o_dead[:, 2]
+        dcx, dcy, dcz = d_dead[:, 0], d_dead[:, 1], d_dead[:, 2]
         payload = (
-            o_dead[:, 0], o_dead[:, 1], o_dead[:, 2],
-            d_dead[:, 0], d_dead[:, 1], d_dead[:, 2],
+            ocx, ocy, ocz, dcx, dcy, dcz,
             thr[:, 0], thr[:, 1], thr[:, 2],
             rad[:, 0], rad[:, 1], rad[:, 2],
             iota,
         ) + (() if affine else (stream,))
-        words = pi.cluster_masks(aabb8, o_off, d_dead, n_super)
+        # Mask-kernel rows straight from the payload columns (one axis-0
+        # stack; the lane-major [N, 3] -> [8, N] transpose pack_rays would
+        # pay costs a full-width relayout per bounce).
+        zcol = jnp.zeros_like(ocx)
+        rays_pre = jnp.stack(
+            [ocx + dcx * RAY_EPS, ocy + dcy * RAY_EPS, ocz + dcz * RAY_EPS,
+             dcx, dcy, dcz, zcol, zcol], axis=0,
+        )
+        words_p = pi.cluster_masks_rows(aabb8, rays_pre, n_super)
         keys, word_slots = traverse._lex_sort_keys(
-            alive, octant, words, n_super
+            alive, octant, [words_p[i] for i in range(words_p.shape[0])],
+            n_super,
         )
         sorted_ops = jax.lax.sort(
             tuple(keys) + payload, num_keys=len(keys)
@@ -577,8 +593,10 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
             )
         )
 
-        o2 = jnp.stack([v[:s_width] for v in vals[0:3]], axis=-1)
-        d2 = jnp.stack([v[:s_width] for v in vals[3:6]], axis=-1)
+        sox, soy, soz = (v[:s_width] for v in vals[0:3])
+        sdx, sdy, sdz = (v[:s_width] for v in vals[3:6])
+        o2 = jnp.stack([sox, soy, soz], axis=-1)
+        d2 = jnp.stack([sdx, sdy, sdz], axis=-1)
         thr = jnp.stack([v[:s_width] for v in vals[6:9]], axis=-1)
         rad = jnp.stack([v[:s_width] for v in vals[9:12]], axis=-1)
         iota = vals[12][:s_width]
@@ -589,9 +607,18 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
         alive = jnp.arange(s_width, dtype=jnp.int32) < n_alive
         width = s_width
 
-        rays = rays + jnp.sum(alive.astype(jnp.int32))
-        t, tri_idx, bu, bv = traverse.cast_presorted(
-            scene, o2, d2, words=s_words
+        # Cast count: alive lanes are a sorted prefix, so the post-slice
+        # count is min(n_alive, s_width) exactly — no full-width reduce.
+        rays = rays + jnp.minimum(n_alive, s_width)
+        # Sweep-kernel rows from the sorted columns (RAY_EPS-offset; same
+        # cast_ray semantics as cast_presorted, raytracer.odin:416-430).
+        zs = jnp.zeros_like(sox)
+        rays_sorted = jnp.stack(
+            [sox + sdx * RAY_EPS, soy + sdy * RAY_EPS, soz + sdz * RAY_EPS,
+             sdx, sdy, sdz, zs, zs], axis=0,
+        )
+        t, tri_idx, bu, bv = traverse.cast_presorted_rows(
+            scene, rays_sorted, words=s_words
         )
         uniforms = prng.uniforms(base_key, sample, b, stream, 6)
         o2, d2, thr, rad, alive, _ev, _h, _m = _shade_vertex(

@@ -343,18 +343,13 @@ def _mask_kernel(rays_ref, aabb_ref, out_ref, *, n_words: int,
         )
 
 
-def cluster_masks_packed(aabb8, o, d, n_clusters: int = None):
-    """Bit-packed exact per-ray cluster masks via the Pallas kernel, in the
-    kernel-native row-major layout.
-
-    aabb8: [C_pad, 8] f32 (C_pad % 32 == 0; cols lo.xyz, hi.xyz, 2 pad,
-    padding rows (BIG, -BIG)). o, d: [N, 3] (flat). Returns
-    ([W, Npad] int32, n) with W = C_pad // 32 (<= 8); lanes >= n are zero.
-    With n_clusters set, pad-cluster bits (>= n_clusters) are zeroed —
-    required wherever the words feed _lex_sort_keys (see _mask_kernel).
-    """
+def cluster_masks_rows(aabb8, rays, n_clusters: int = None):
+    """cluster_masks_packed for rays already in the kernel-native [8, Npad]
+    row layout (rows = ox oy oz dx dy dz, 2 pad; Npad % RB == 0). Skips the
+    [N, 3] -> [8, N] transpose — callers holding per-component columns
+    (sorted wavefronts) build the rows with one cheap axis-0 stack instead.
+    Returns [W, Npad] int32 words."""
     n_words = aabb8.shape[0] // 32
-    rays, _batch_shape, n = pack_rays(o, d)
     npad = rays.shape[1]
     out = pl.pallas_call(
         functools.partial(_mask_kernel, n_words=n_words, n_bits=n_clusters),
@@ -370,7 +365,21 @@ def cluster_masks_packed(aabb8, o, d, n_clusters: int = None):
         out_shape=jax.ShapeDtypeStruct((8, npad), jnp.int32),
         interpret=_interpret(),
     )(rays, aabb8)
-    return out[:n_words], n
+    return out[:n_words]
+
+
+def cluster_masks_packed(aabb8, o, d, n_clusters: int = None):
+    """Bit-packed exact per-ray cluster masks via the Pallas kernel, in the
+    kernel-native row-major layout.
+
+    aabb8: [C_pad, 8] f32 (C_pad % 32 == 0; cols lo.xyz, hi.xyz, 2 pad,
+    padding rows (BIG, -BIG)). o, d: [N, 3] (flat). Returns
+    ([W, Npad] int32, n) with W = C_pad // 32 (<= 8); lanes >= n are zero.
+    With n_clusters set, pad-cluster bits (>= n_clusters) are zeroed —
+    required wherever the words feed _lex_sort_keys (see _mask_kernel).
+    """
+    rays, _batch_shape, n = pack_rays(o, d)
+    return cluster_masks_rows(aabb8, rays, n_clusters), n
 
 
 def cluster_masks(aabb8, o, d, n_clusters: int = None):
@@ -538,6 +547,32 @@ def list_block(scene_tris) -> int:
     return RB if scene_tris.shape[1] == 128 else RB_SUB
 
 
+def intersect_culled_rows(scene_tris, counts, lists, rays):
+    """intersect_culled for rays already packed as [8, Npad] rows (with the
+    RAY_EPS offset applied by the caller). Returns the kernel-native
+    [8, Npad] output rows (t, bu, bv, tri_index-as-f32, 4 pad)."""
+    npad = rays.shape[1]
+    nb = npad // RB
+    sub = RB // list_block(scene_tris)  # list rows per kernel block
+    c = lists.shape[1]
+    max_blocks = max(64, SMEM_BUDGET_BYTES // (4 * (c + 1) * sub))
+    if nb <= max_blocks:
+        return _culled_call(counts, lists, rays, scene_tris)
+    n_chunks = -(-nb // max_blocks)
+    per = -(-nb // n_chunks)  # balanced chunk size (kernel blocks)
+    pieces = []
+    for s in range(0, nb, per):
+        e = min(nb, s + per)
+        pieces.append(
+            _culled_call(
+                counts[s * sub:e * sub], lists[s * sub:e * sub],
+                jax.lax.slice_in_dim(rays, s * RB, e * RB, axis=1),
+                scene_tris,
+            )
+        )
+    return jnp.concatenate(pieces, axis=1)
+
+
 def intersect_culled(scene_tris, counts, lists, o, d):
     """Nearest hit testing only the per-sub-block cluster lists
     (ops/culling.py, built at list_block(scene_tris) lane granularity).
@@ -545,25 +580,5 @@ def intersect_culled(scene_tris, counts, lists, o, d):
     counts: [NSB] i32; lists: [NSB, C] i32 (entries beyond counts ignored).
     """
     rays, batch_shape, n = pack_rays(o, d)
-    npad = rays.shape[1]
-    nb = npad // RB
-    sub = RB // list_block(scene_tris)  # list rows per kernel block
-    c = lists.shape[1]
-    max_blocks = max(64, SMEM_BUDGET_BYTES // (4 * (c + 1) * sub))
-    if nb <= max_blocks:
-        out = _culled_call(counts, lists, rays, scene_tris)
-    else:
-        n_chunks = -(-nb // max_blocks)
-        per = -(-nb // n_chunks)  # balanced chunk size (kernel blocks)
-        pieces = []
-        for s in range(0, nb, per):
-            e = min(nb, s + per)
-            pieces.append(
-                _culled_call(
-                    counts[s * sub:e * sub], lists[s * sub:e * sub],
-                    jax.lax.slice_in_dim(rays, s * RB, e * RB, axis=1),
-                    scene_tris,
-                )
-            )
-        out = jnp.concatenate(pieces, axis=1)
+    out = intersect_culled_rows(scene_tris, counts, lists, rays)
     return unpack_hits(out, batch_shape, n)

@@ -62,11 +62,29 @@ def build_atlas(textures) -> dict:
     }
 
 
+_SRGB_COLS = [c for q in range(4) for c in (4 * q, 4 * q + 1, 4 * q + 2)]
+
+
+def srgb_decode_pool(texels: np.ndarray) -> np.ndarray:
+    """Host-side pow(2.2) decode of a quad-packed pool's rgb columns
+    (alpha columns pass through). Pre-decoding preserves the reference's
+    semantics exactly — it decodes per texel *before* the bilinear lerp
+    (textures.odin:99-101, 125-134), so decoding at build time and lerping
+    decoded texels is the same computation, hoisted out of the per-sample
+    hot path (the in-loop version cost 12 pow() transcendentals per sRGB
+    tap per lane per bounce)."""
+    out = np.array(texels, np.float32, copy=True)
+    cols = out[:, _SRGB_COLS]
+    out[:, _SRGB_COLS] = np.power(np.maximum(cols, 0.0), np.float32(2.2))
+    return out
+
+
 def sample(scene, tex_id, uv, srgb: bool = False, default=(1.0, 1.0, 1.0, 1.0)):
     """Bilinear sample; tex_id [...], uv [..., 2] -> [..., 4].
 
     tex_id < 0 yields `default` (a per-call constant, matching the
-    reference's per-sampler default argument)."""
+    reference's per-sampler default argument). srgb=True reads the
+    pre-decoded pool (srgb_decode_pool; scene.tex_texels_srgb)."""
     tid = jnp.maximum(tex_id, 0)
     w = scene.tex_width[tid]
     h = scene.tex_height[tid]
@@ -81,17 +99,12 @@ def sample(scene, tex_id, uv, srgb: bool = False, default=(1.0, 1.0, 1.0, 1.0)):
     c00 = jnp.mod(lo.astype(jnp.int32), dims_i)
 
     # One quad-row gather delivers the whole bilinear footprint.
-    quad = scene.tex_texels[off + c00[..., 1] * w + c00[..., 0]]  # [..., 16]
+    pool = scene.tex_texels_srgb if srgb else scene.tex_texels
+    quad = pool[off + c00[..., 1] * w + c00[..., 0]]  # [..., 16]
     p00 = quad[..., 0:4]
     p10 = quad[..., 4:8]
     p01 = quad[..., 8:12]
     p11 = quad[..., 12:16]
-    if srgb:
-        def dec(px):
-            rgb = jnp.power(jnp.maximum(px[..., :3], 0.0), 2.2)
-            return jnp.concatenate([rgb, px[..., 3:]], axis=-1)
-
-        p00, p10, p01, p11 = dec(p00), dec(p10), dec(p01), dec(p11)
 
     ty = t[..., 1:2]
     tx = t[..., 0:1]

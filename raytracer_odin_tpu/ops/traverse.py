@@ -49,7 +49,7 @@ def _ray_octant(d):
     )
 
 
-def _lex_sort_keys(alive_f, octant, words, n_clusters: int):
+def _lex_sort_keys(alive_f, octant, w_ops, n_clusters: int):
     """Lexicographic coherence-sort keys (dead|octant, mask words).
 
     TPU lax.sort cost is proportional to the total operand count and
@@ -61,17 +61,21 @@ def _lex_sort_keys(alive_f, octant, words, n_clusters: int):
     and per-octant grouping still dominates; the polluted bits lie above
     bit C-1 and are ignored by culling.unpack_mask.
 
-    PRECONDITION: `words` must have bits >= n_clusters zeroed (pass
-    n_clusters to pallas_intersect.cluster_masks) — pad-cluster bits above
-    the real clusters would swallow the header and break both the grouping
-    and dead-lane compaction's alive-prefix invariant.
+    w_ops: list of [N] int32 mask-word columns (row-major word index; take
+    them straight off cluster_masks_rows' [W, N] output — a lane-major
+    [N, W] intermediate would cost a full-width transpose per bounce).
+
+    PRECONDITION: the words must have bits >= n_clusters zeroed (pass
+    n_clusters to pallas_intersect.cluster_masks_rows) — pad-cluster bits
+    above the real clusters would swallow the header and break both the
+    grouping and dead-lane compaction's alive-prefix invariant.
 
     Returns (keys, word_slots): sort with num_keys=len(keys); the sorted
     mask words (original word order, header pollution left in place) are
     [sorted_cols[i] for i in word_slots]."""
-    used_top = n_clusters - (words.shape[1] - 1) * 32  # bits used in last word
+    used_top = n_clusters - (len(w_ops) - 1) * 32  # bits used in last word
     hdr = ((~alive_f).astype(jnp.int32) << 3) | octant
-    w_ops = [words[:, i] for i in range(words.shape[1])]
+    w_ops = list(w_ops)
     if used_top <= 27:
         w_last = w_ops[-1] | (hdr << used_top)
         keys = [w_last] + w_ops[:-1]
@@ -239,13 +243,14 @@ def exact_cull_layout(scene):
     return g, n_super, jnp.concatenate([aabb8, pad_rows], axis=0)
 
 
-def _exact_block_lists(scene, words_packed, o2, d2, g: int, n_super: int,
+def _exact_block_lists(scene, words_packed, rays, g: int, n_super: int,
                        cap: int = 192):
     """Per-block cluster lists from sorted per-ray super masks, at the
     pallas_intersect.list_block(scene.ptri) lane granularity (RB_SUB for
     VMEM-resident scenes: tighter unions inside an unchanged kernel grid).
 
     words_packed: [W, Npad] int32 row-major masks over n_super bits.
+    rays: the matching [8, Npad] kernel rows (RAY_EPS-offset).
     g == 1: the mask bits ARE clusters — OR-union per block, done (exact).
     g > 1: expand each block's surviving super bits to their g member
     clusters and refine with the conservative bundle-interval cull
@@ -262,17 +267,44 @@ def _exact_block_lists(scene, words_packed, o2, d2, g: int, n_super: int,
     if g == 1:
         return culling.build_lists(smask, cap=cap)
     cmask = jnp.repeat(smask, g, axis=1)[:, :n_clusters]
-    o_lo, o_hi, d_lo, d_hi = culling.block_bounds(o2, d2, lb)
+    o_lo, o_hi, d_lo, d_hi = culling.block_bounds_rows(rays, lb)
     imask, near = culling.cull_clusters(
         o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
     )
     return culling.build_lists(cmask & imask, cap=cap, near=near)
 
 
+def cast_presorted_rows(scene, rays, words=None):
+    """cast_presorted for rays already packed as [8, N] kernel rows WITH the
+    RAY_EPS offset applied (rows = ox oy oz dx dy dz, 2 pad; N % RB == 0).
+    Callers holding per-component columns (the compacted wavefront's sorted
+    sort-payload columns) build the rows with one cheap axis-0 stack,
+    skipping the [N, 3] -> [8, N] transpose pack_rays would pay.
+    Returns (t, idx, bu, bv) flat [N] in the given lane order."""
+    from raytracer_odin_tpu.ops import culling
+    from raytracer_odin_tpu.ops import pallas_intersect as pi
+
+    n = rays.shape[1]
+    if words is not None:
+        g, n_super, _ = exact_cull_layout(scene)
+        counts, lists = _exact_block_lists(scene, words, rays, g, n_super)
+    else:
+        lb = pi.list_block(scene.ptri)
+        o_lo, o_hi, d_lo, d_hi = culling.block_bounds_rows(rays, lb)
+        mask, near = culling.cull_clusters(
+            o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
+        )
+        counts, lists = culling.build_lists(mask, cap=192, near=near)
+    out = pi.intersect_culled_rows(scene.ptri, counts, lists, rays)
+    t, idx, bu, bv = pi.unpack_hits(out, (n,), n)
+    t = jnp.where(idx >= 0, t + RAY_EPS, BIG)
+    return t, idx, bu, bv
+
+
 def cast_presorted(scene, o, d, words=None):
     """Nearest hit for rays that are ALREADY coherence-sorted and RB-aligned
-    (the dead-lane-compacted wavefront, ops/integrator._trace_compacted):
-    no internal sort, no unsort — results come back in the given lane order.
+    (no internal sort, no unsort — results come back in the given lane
+    order).
 
     o, d: [N, 3] with N a multiple of pallas_intersect.RB; dead lanes must
     already carry degenerate far rays. words: [W, N] int32 row-major exact
@@ -280,23 +312,11 @@ def cast_presorted(scene, o, d, words=None):
     layout over exact_cull_layout's bits), or None to use the conservative
     bundle-interval cull. Same cast_ray semantics as every other
     intersector (RAY_EPS offset + re-add, raytracer.odin:416-430)."""
-    from raytracer_odin_tpu.ops import culling
     from raytracer_odin_tpu.ops import pallas_intersect as pi
 
     o = o + d * RAY_EPS
-    if words is not None:
-        g, n_super, _ = exact_cull_layout(scene)
-        counts, lists = _exact_block_lists(scene, words, o, d, g, n_super)
-    else:
-        lb = pi.list_block(scene.ptri)
-        o_lo, o_hi, d_lo, d_hi = culling.block_bounds(o, d, lb)
-        mask, near = culling.cull_clusters(
-            o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
-        )
-        counts, lists = culling.build_lists(mask, cap=192, near=near)
-    t, idx, bu, bv = pi.intersect_culled(scene.ptri, counts, lists, o, d)
-    t = jnp.where(idx >= 0, t + RAY_EPS, BIG)
-    return t, idx, bu, bv
+    rays, _, _ = pi.pack_rays(o, d)
+    return cast_presorted_rows(scene, rays, words)
 
 
 def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
@@ -361,10 +381,12 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
             # union 26.4 clusters vs 89.3 unsorted; approximate single-key
             # signatures measured 41.8 — the full lex order earns its
             # keep, and extra key columns are free, see _lex_sort_keys).
-            words = pi.cluster_masks(aabb8, o2, d2, n_super)
+            rays_pre, _, _ = pi.pack_rays(o2, d2)
+            words_p = pi.cluster_masks_rows(aabb8, rays_pre, n_super)
+            w_ops = [words_p[i, :n_rays] for i in range(words_p.shape[0])]
             octant = _ray_octant(d2)
             keys, word_slots = _lex_sort_keys(
-                alive_f, octant, words, n_super
+                alive_f, octant, w_ops, n_super
             )
             sorted_ops = jax.lax.sort(
                 tuple(keys
@@ -385,8 +407,17 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
                  d2[:, 0], d2[:, 1], d2[:, 2], iota),
                 num_keys=1,
             )
-        o2 = jnp.stack([ox, oy, oz], axis=-1)
-        d2 = jnp.stack([dx, dy, dz], axis=-1)
+        # Kernel rows straight from the sorted columns: one cheap axis-0
+        # stack instead of the [N, 3] stack + transpose pack_rays would pay.
+        n = n_rays
+        npad = ((n + pi.RB - 1) // pi.RB) * pi.RB
+        zero = jnp.zeros_like(ox)
+        rays2 = jnp.stack([ox, oy, oz, dx, dy, dz, zero, zero], axis=0)
+        if npad != n:
+            # padding lanes: degenerate far rays (hit nothing; their
+            # interval bounds only widen blocks conservatively)
+            rays2 = jnp.pad(rays2, ((0, 0), (0, npad - n)))
+            rays2 = rays2.at[0, n:].set(BIG).at[3, n:].set(1.0)
         tiled = False
     else:
         tiled = len(batch_shape) == 2
@@ -398,38 +429,28 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
         else:
             o2 = o.reshape(-1, 3)
             d2 = d.reshape(-1, 3)
+        # One shared row pack for the mask kernel AND the sweep kernel.
+        rays2, _, n = pi.pack_rays(o2, d2)
+        npad = rays2.shape[1]
         if exact:
-            exact_words, _ = pi.cluster_masks_packed(aabb8, o2, d2, n_super)
+            exact_words = pi.cluster_masks_rows(aabb8, rays2, n_super)
 
     if culled and exact:
         # Exact per-block lists: OR-union of the block's per-ray masks
         # (g > 1: super bits expanded to member clusters and refined by
         # the interval cull — see _exact_block_lists). The kernel sweeps
         # its list branch-free, so visit order is irrelevant at g == 1.
-        n = o2.shape[0]
-        npad = ((n + pi.RB - 1) // pi.RB) * pi.RB
         w_p = exact_words
         if w_p.shape[1] != npad:
             w_p = jnp.pad(w_p, ((0, 0), (0, npad - w_p.shape[1])))
-        o_p, d_p = o2, d2
-        if g_exact > 1 and npad != n:
-            # Pad lanes become degenerate far rays; their blocks' interval
-            # bounds blow up conservatively (never cull a real ray's work).
-            o_p = jnp.pad(o2, ((0, npad - n), (0, 0)), constant_values=BIG)
-            d_p = jnp.pad(d2, ((0, npad - n), (0, 0)))
         counts, lists = _exact_block_lists(
-            scene, w_p, o_p, d_p, g_exact, n_super
+            scene, w_p, rays2, g_exact, n_super
         )
-        t, idx, bu, bv = pi.intersect_culled(
-            scene.ptri, counts, lists, o2, d2
-        )
+        out = pi.intersect_culled_rows(scene.ptri, counts, lists, rays2)
+        t, idx, bu, bv = pi.unpack_hits(out, (n,), n)
     elif culled:
-        n = o2.shape[0]
-        npad = ((n + pi.RB - 1) // pi.RB) * pi.RB
-        o_p = jnp.pad(o2, ((0, npad - n), (0, 0)), constant_values=BIG)
-        d_p = jnp.pad(d2, ((0, npad - n), (0, 0)))
-        o_lo, o_hi, d_lo, d_hi = culling.block_bounds(
-            o_p, d_p, pi.list_block(scene.ptri)
+        o_lo, o_hi, d_lo, d_hi = culling.block_bounds_rows(
+            rays2, pi.list_block(scene.ptri)
         )
         # Conservative bundle-interval cull for scenes whose mask exceeds
         # the exact-path word budget; `near` orders lists nearest-first
@@ -441,9 +462,8 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
         # rare overflow blocks sweep all clusters inside the kernel
         # (correct, just unculled).
         counts, lists = culling.build_lists(mask, cap=192, near=near)
-        t, idx, bu, bv = pi.intersect_culled(
-            scene.ptri, counts, lists, o2, d2
-        )
+        out = pi.intersect_culled_rows(scene.ptri, counts, lists, rays2)
+        t, idx, bu, bv = pi.unpack_hits(out, (n,), n)
     else:
         t, idx, bu, bv = pi.intersect_brute(scene.ptri, o2, d2)
 

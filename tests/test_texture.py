@@ -11,6 +11,9 @@ class AtlasScene:
     def __init__(self, textures):
         a = texture.build_atlas(textures)
         self.tex_texels = jnp.asarray(a["tex_texels"])
+        self.tex_texels_srgb = jnp.asarray(
+            texture.srgb_decode_pool(a["tex_texels"])
+        )
         self.tex_offset = jnp.asarray(a["tex_offset"])
         self.tex_width = jnp.asarray(a["tex_width"])
         self.tex_height = jnp.asarray(a["tex_height"])
