@@ -277,7 +277,7 @@ def _culled_stream_kernel(counts_ref, lists_ref, rays_ref, tris_hbm,
 
 
 def _mask_kernel(rays_ref, aabb_ref, out_ref, *, n_words: int,
-                 n_bits: int = None):
+                 n_bits: int = None, tmax_row: bool = False):
     """Exact per-ray cluster masks, bit-packed: out rows 0..n_words-1 are
     int32 words, bit c%32 of word c//32 = slab hit of cluster c. Clusters
     are tested 8 at a time in sublanes against RB rays in lanes; the whole
@@ -291,6 +291,12 @@ def _mask_kernel(rays_ref, aabb_ref, out_ref, *, n_words: int,
     n_bits are zeroed in the output; _lex_sort_keys's header fold (and
     dead-lane compaction's alive-prefix invariant) REQUIRE this — a stray
     pad bit above the real clusters would swallow the dead|octant header.
+
+    tmax_row=True reads a per-ray occlusion bound from ray row 6 and adds
+    `near <= tmax` to the hit test: a cluster whose slab entry lies beyond
+    an already-found hit cannot contain a nearer one (every triangle hit
+    inside an AABB has t >= the ray's entry distance into that AABB) — the
+    t-bounded second phase of two-phase culling (traverse.cast_presorted).
     """
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
@@ -298,6 +304,7 @@ def _mask_kernel(rays_ref, aabb_ref, out_ref, *, n_words: int,
     ivx = 1.0 / rays_ref[3:4, :]
     ivy = 1.0 / rays_ref[4:5, :]
     ivz = 1.0 / rays_ref[5:6, :]
+    tmax = rays_ref[6:7, :] if tmax_row else None
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
@@ -324,6 +331,8 @@ def _mask_kernel(rays_ref, aabb_ref, out_ref, *, n_words: int,
             near = jnp.maximum(jnp.maximum(nx, ny), nz)
             far = jnp.minimum(jnp.minimum(xx, xy), xz)
             hit = (near <= far) & (far >= 0)  # (8, RB)
+            if tmax is not None:
+                hit = hit & (near <= tmax)
             bits = jnp.left_shift(jnp.int32(1), g * 8 + sub)
             # disjoint bits: sum == bitwise or
             word = word + jnp.sum(
@@ -343,16 +352,19 @@ def _mask_kernel(rays_ref, aabb_ref, out_ref, *, n_words: int,
         )
 
 
-def cluster_masks_rows(aabb8, rays, n_clusters: int = None):
+def cluster_masks_rows(aabb8, rays, n_clusters: int = None,
+                       tmax_row: bool = False):
     """cluster_masks_packed for rays already in the kernel-native [8, Npad]
     row layout (rows = ox oy oz dx dy dz, 2 pad; Npad % RB == 0). Skips the
     [N, 3] -> [8, N] transpose — callers holding per-component columns
     (sorted wavefronts) build the rows with one cheap axis-0 stack instead.
-    Returns [W, Npad] int32 words."""
+    tmax_row=True reads a per-ray occlusion bound from ray row 6 (see
+    _mask_kernel). Returns [W, Npad] int32 words."""
     n_words = aabb8.shape[0] // 32
     npad = rays.shape[1]
     out = pl.pallas_call(
-        functools.partial(_mask_kernel, n_words=n_words, n_bits=n_clusters),
+        functools.partial(_mask_kernel, n_words=n_words, n_bits=n_clusters,
+                          tmax_row=tmax_row),
         grid=(npad // RB,),
         in_specs=[
             pl.BlockSpec((8, RB), lambda i: (0, i), memory_space=pltpu.VMEM),

@@ -39,6 +39,14 @@ import os as _os
 
 MAX_EXACT_CLUSTERS = int(_os.environ.get("RT_TPU_MAX_EXACT", 128))
 
+# Two-phase t-bounded culling for presorted exact-mask casts (0 = off):
+# phase A sweeps each block's K nearest clusters, then every cluster whose
+# per-ray slab ENTRY lies beyond the found hit is pruned (any triangle hit
+# inside an AABB has t >= the ray's entry distance into it — sound), and
+# phase B sweeps the survivors. Trades a second mask-kernel pass + list
+# build for fewer sweep pairs.
+TWO_PHASE_K = int(_os.environ.get("RT_TPU_TWO_PHASE", 0))
+
 
 def _ray_octant(d):
     """Octant index from direction signs: bit k set iff d[k] < 0."""
@@ -274,6 +282,61 @@ def _exact_block_lists(scene, words_packed, rays, g: int, n_super: int,
     return culling.build_lists(cmask & imask, cap=cap, near=near)
 
 
+def _two_phase_exact(scene, rays, words, n_super: int, aabb8, cap: int = 192):
+    """Two-phase t-bounded exact culling (TWO_PHASE_K; g == 1 VMEM-resident
+    scenes). Phase A sweeps each block's K nearest exact-list clusters;
+    phase B re-masks with the per-ray occlusion bound t_A (mask kernel
+    tmax row: prune clusters entered beyond the found hit), clears the
+    already-swept bits, and sweeps the remainder. Ties keep phase A — the
+    nearest-first list order puts A's clusters first, matching the
+    single-sweep first-wins rule. Returns the [8, N] kernel output rows."""
+    from raytracer_odin_tpu.ops import culling
+    from raytracer_odin_tpu.ops import pallas_intersect as pi
+
+    k = TWO_PHASE_K
+    lb = pi.list_block(scene.ptri)
+    smask = culling.unpack_mask(
+        culling.or_blocks_packed(words, lb), n_super
+    )
+    o_lo, o_hi, d_lo, d_hi = culling.block_bounds_rows(rays, lb)
+    _, near = culling.cull_clusters(
+        o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
+    )
+    counts, lists = culling.build_lists(smask, cap=cap, near=near)
+
+    counts_a = jnp.where(counts < 0, k, jnp.minimum(counts, k))
+    out_a = pi.intersect_culled_rows(scene.ptri, counts_a, lists, rays)
+
+    # Per-ray occlusion bound rides ray row 6 into the t-bounded mask pass.
+    rays_b = jnp.concatenate([rays[0:6], out_a[0:1], rays[7:8]], axis=0)
+    words_b = pi.cluster_masks_rows(aabb8, rays_b, n_super, tmax_row=True)
+    # Clear the phase-A-swept clusters (valid for the whole block: phase A
+    # tested them for every lane of the block).
+    n_words = words_b.shape[0]
+    kmax = min(k, lists.shape[1])
+    tested_cols = []
+    for w in range(n_words):
+        tw = jnp.zeros(counts.shape, jnp.int32)
+        for kk in range(kmax):
+            cid = lists[:, kk]
+            use = (kk < counts_a) & (cid // 32 == w)
+            tw = tw | jnp.where(
+                use, jnp.left_shift(jnp.int32(1), cid % 32), 0
+            )
+        tested_cols.append(tw)
+    tested = jnp.stack(tested_cols, axis=0)  # [W, NB]
+    tested_lanes = jnp.repeat(tested, lb, axis=1)
+    words_b = words_b & ~tested_lanes
+    counts_b, lists_b = culling.build_lists(
+        culling.unpack_mask(
+            culling.or_blocks_packed(words_b, lb), n_super
+        ),
+        cap=cap, near=near,
+    )
+    out_b = pi.intersect_culled_rows(scene.ptri, counts_b, lists_b, rays)
+    return jnp.where((out_b[0:1] < out_a[0:1]), out_b, out_a)
+
+
 def cast_presorted_rows(scene, rays, words=None):
     """cast_presorted for rays already packed as [8, N] kernel rows WITH the
     RAY_EPS offset applied (rows = ox oy oz dx dy dz, 2 pad; N % RB == 0).
@@ -286,7 +349,12 @@ def cast_presorted_rows(scene, rays, words=None):
 
     n = rays.shape[1]
     if words is not None:
-        g, n_super, _ = exact_cull_layout(scene)
+        g, n_super, aabb8 = exact_cull_layout(scene)
+        if TWO_PHASE_K > 0 and g == 1 and scene.ptri.shape[1] != 128:
+            out = _two_phase_exact(scene, rays, words, n_super, aabb8)
+            t, idx, bu, bv = pi.unpack_hits(out, (n,), n)
+            t = jnp.where(idx >= 0, t + RAY_EPS, BIG)
+            return t, idx, bu, bv
         counts, lists = _exact_block_lists(scene, words, rays, g, n_super)
     else:
         lb = pi.list_block(scene.ptri)

@@ -178,3 +178,37 @@ def test_cluster_mask_kernel_matches_xla():
     for col in range(w):
         hi_mask = ~((1 << (used_last if col == w - 1 else 32)) - 1)
         assert (trimmed[:, col] & hi_mask == 0).all()
+
+
+def test_two_phase_matches_single_phase(monkeypatch):
+    """t-bounded two-phase culling (TWO_PHASE_K) returns the same hits as
+    the single-sweep exact path: identical hit/miss and t; index may differ
+    only where t ties exactly (shared edges — same rule as between
+    intersectors)."""
+    rng = np.random.default_rng(11)
+    p, u, v = random_triangles(rng, 300)
+    scene = make_scene(p, u, v)
+    n = 2 * pi.RB
+    o, d = rays(rng, n)
+    # presorted contract: RB-aligned lane count, any order is legal
+    g, n_super, aabb8 = traverse.exact_cull_layout(scene)
+    o_off = o + d * traverse.RAY_EPS
+    rows, _, _ = pi.pack_rays(o_off, d)
+    words = pi.cluster_masks_rows(aabb8, rows, n_super)
+
+    t0, i0, u0, v0 = traverse.cast_presorted(scene, o, d, words=words)
+    monkeypatch.setattr(traverse, "TWO_PHASE_K", 2)
+    t1, i1, u1, v1 = traverse.cast_presorted(scene, o, d, words=words)
+
+    t0, t1 = np.asarray(t0), np.asarray(t1)
+    i0, i1 = np.asarray(i0), np.asarray(i1)
+    assert np.array_equal(i0 >= 0, i1 >= 0)
+    hit = i0 >= 0
+    assert np.allclose(t0[hit], t1[hit], rtol=1e-6, atol=1e-6)
+    same = i0 == i1
+    # index flips only at exact-t ties
+    assert np.allclose(t0[hit & ~same], t1[hit & ~same], rtol=1e-5, atol=1e-5)
+    assert np.allclose(np.asarray(u0)[hit & same], np.asarray(u1)[hit & same],
+                       rtol=1e-4, atol=1e-5)
+    assert np.allclose(np.asarray(v0)[hit & same], np.asarray(v1)[hit & same],
+                       rtol=1e-4, atol=1e-5)
