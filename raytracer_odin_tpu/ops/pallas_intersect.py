@@ -490,16 +490,27 @@ def intersect_brute(scene_tris, o, d):
     return unpack_hits(out, batch_shape, n)
 
 
-# Above this triangle count the packed array stops being VMEM-resident and
-# clusters are DMA-streamed from HBM instead (lane padding makes a resident
-# row cost 512 B of VMEM: ~24k rows ~ 12 MB). Overridable for tests.
+# Per-sweep-call VMEM triangle budget (lane padding makes a resident row
+# cost 512 B of VMEM: ~24k rows ~ 12 MB). Scenes above this are swept in
+# resident CHUNKS (traverse._sweep_exact): k back-to-back kernel calls over
+# [chunk] triangle slices combined by min-t — measured far cheaper than
+# DMA-streaming per cluster, whose 128-wide rows move ~10.7x the useful
+# bytes (city 1080p: 5.67 Mrays/s streamed). Streaming remains the fallback
+# above RT_TPU_STREAM_TRIS (default 8 chunks), where per-chunk fixed costs
+# would pile up.
 VMEM_RESIDENT_TRIS = 24 * 1024
+
+
+def chunk_tris() -> int:
+    import os
+
+    return int(os.environ.get("RT_TPU_CHUNK_TRIS", VMEM_RESIDENT_TRIS))
 
 
 def _stream_threshold() -> int:
     import os
 
-    return int(os.environ.get("RT_TPU_STREAM_TRIS", VMEM_RESIDENT_TRIS))
+    return int(os.environ.get("RT_TPU_STREAM_TRIS", 8 * VMEM_RESIDENT_TRIS))
 
 
 def _culled_call(counts, lists, rays, tris):

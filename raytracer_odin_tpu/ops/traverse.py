@@ -251,11 +251,12 @@ def exact_cull_layout(scene):
     return g, n_super, jnp.concatenate([aabb8, pad_rows], axis=0)
 
 
-def _exact_block_lists(scene, words_packed, rays, g: int, n_super: int,
-                       cap: int = 192):
-    """Per-block cluster lists from sorted per-ray super masks, at the
-    pallas_intersect.list_block(scene.ptri) lane granularity (RB_SUB for
-    VMEM-resident scenes: tighter unions inside an unchanged kernel grid).
+def _sweep_exact(scene, words_packed, rays, g: int, n_super: int,
+                 cap: int = 192):
+    """Per-block cluster lists from sorted per-ray super masks + the culled
+    sweep, at the pallas_intersect.list_block(scene.ptri) lane granularity
+    (RB_SUB for VMEM-resident scenes: tighter unions inside an unchanged
+    kernel grid). Returns the kernel-native [8, N] output rows.
 
     words_packed: [W, Npad] int32 row-major masks over n_super bits.
     rays: the matching [8, Npad] kernel rows (RAY_EPS-offset).
@@ -263,7 +264,16 @@ def _exact_block_lists(scene, words_packed, rays, g: int, n_super: int,
     g > 1: expand each block's surviving super bits to their g member
     clusters and refine with the conservative bundle-interval cull
     (culling.cull_clusters) — the intersection is strictly tighter than
-    either level alone, and `near` orders survivors nearest-first."""
+    either level alone, and `near` orders survivors nearest-first.
+
+    Scenes whose triangle array exceeds the per-call VMEM budget
+    (pallas_intersect.chunk_tris) but are not DMA-streamed run the sweep in
+    resident CHUNKS: one kernel call per [chunk] triangle slice with that
+    chunk's lists, combined by strict min-t (ascending chunk order keeps
+    the first-wins tie rule of a single id-ordered sweep). This keeps
+    mid-size scenes (e.g. the 51.8k-tri city) on the fast resident kernel
+    instead of the per-cluster DMA stream whose 128-lane-aligned rows move
+    ~10.7x the useful bytes."""
     from raytracer_odin_tpu.ops import culling
     from raytracer_odin_tpu.ops import pallas_intersect as pi
 
@@ -272,14 +282,41 @@ def _exact_block_lists(scene, words_packed, rays, g: int, n_super: int,
     smask = culling.unpack_mask(
         culling.or_blocks_packed(words_packed, lb), n_super
     )
+    near = None
     if g == 1:
-        return culling.build_lists(smask, cap=cap)
-    cmask = jnp.repeat(smask, g, axis=1)[:, :n_clusters]
-    o_lo, o_hi, d_lo, d_hi = culling.block_bounds_rows(rays, lb)
-    imask, near = culling.cull_clusters(
-        o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
-    )
-    return culling.build_lists(cmask & imask, cap=cap, near=near)
+        bmask = smask
+    else:
+        cmask = jnp.repeat(smask, g, axis=1)[:, :n_clusters]
+        o_lo, o_hi, d_lo, d_hi = culling.block_bounds_rows(rays, lb)
+        imask, near = culling.cull_clusters(
+            o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
+        )
+        bmask = cmask & imask
+
+    chunk_c = max(1, pi.chunk_tris() // pi.LEAF)
+    if scene.ptri.shape[1] == 128 or n_clusters <= chunk_c:
+        counts, lists = culling.build_lists(bmask, cap=cap, near=near)
+        return pi.intersect_culled_rows(scene.ptri, counts, lists, rays)
+
+    out = None
+    for a in range(0, n_clusters, chunk_c):
+        b = min(n_clusters, a + chunk_c)
+        counts, lists = culling.build_lists(
+            bmask[:, a:b], cap=cap,
+            near=None if near is None else near[:, a:b],
+        )
+        ptri_c = jax.lax.slice_in_dim(
+            scene.ptri, a * pi.LEAF, b * pi.LEAF, axis=0
+        )
+        oc = pi.intersect_culled_rows(ptri_c, counts, lists, rays)
+        # rebase the chunk-local triangle index (row 3; misses stay -1)
+        idx = oc[3:4]
+        oc = jnp.concatenate(
+            [oc[0:3], jnp.where(idx >= 0, idx + a * pi.LEAF, idx), oc[4:8]],
+            axis=0,
+        )
+        out = oc if out is None else jnp.where(oc[0:1] < out[0:1], oc, out)
+    return out
 
 
 def _two_phase_exact(scene, rays, words, n_super: int, aabb8, cap: int = 192):
@@ -352,10 +389,8 @@ def cast_presorted_rows(scene, rays, words=None):
         g, n_super, aabb8 = exact_cull_layout(scene)
         if TWO_PHASE_K > 0 and g == 1 and scene.ptri.shape[1] != 128:
             out = _two_phase_exact(scene, rays, words, n_super, aabb8)
-            t, idx, bu, bv = pi.unpack_hits(out, (n,), n)
-            t = jnp.where(idx >= 0, t + RAY_EPS, BIG)
-            return t, idx, bu, bv
-        counts, lists = _exact_block_lists(scene, words, rays, g, n_super)
+        else:
+            out = _sweep_exact(scene, words, rays, g, n_super)
     else:
         lb = pi.list_block(scene.ptri)
         o_lo, o_hi, d_lo, d_hi = culling.block_bounds_rows(rays, lb)
@@ -363,7 +398,7 @@ def cast_presorted_rows(scene, rays, words=None):
             o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
         )
         counts, lists = culling.build_lists(mask, cap=192, near=near)
-    out = pi.intersect_culled_rows(scene.ptri, counts, lists, rays)
+        out = pi.intersect_culled_rows(scene.ptri, counts, lists, rays)
     t, idx, bu, bv = pi.unpack_hits(out, (n,), n)
     t = jnp.where(idx >= 0, t + RAY_EPS, BIG)
     return t, idx, bu, bv
@@ -506,15 +541,12 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
     if culled and exact:
         # Exact per-block lists: OR-union of the block's per-ray masks
         # (g > 1: super bits expanded to member clusters and refined by
-        # the interval cull — see _exact_block_lists). The kernel sweeps
-        # its list branch-free, so visit order is irrelevant at g == 1.
+        # the interval cull — see _sweep_exact). The kernel sweeps its
+        # list branch-free, so visit order is irrelevant at g == 1.
         w_p = exact_words
         if w_p.shape[1] != npad:
             w_p = jnp.pad(w_p, ((0, 0), (0, npad - w_p.shape[1])))
-        counts, lists = _exact_block_lists(
-            scene, w_p, rays2, g_exact, n_super
-        )
-        out = pi.intersect_culled_rows(scene.ptri, counts, lists, rays2)
+        out = _sweep_exact(scene, w_p, rays2, g_exact, n_super)
         t, idx, bu, bv = pi.unpack_hits(out, (n,), n)
     elif culled:
         o_lo, o_hi, d_lo, d_hi = culling.block_bounds_rows(

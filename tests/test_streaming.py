@@ -106,3 +106,30 @@ def test_city_scene_generates():
     host = gltf.read_gltf(info["gltf"])
     assert host.num_triangles > 50_000
     assert host.cam.fov_x > 0
+
+
+def test_chunked_resident_sweep_matches_brute(monkeypatch):
+    """Scenes above the per-call VMEM budget but below the streaming
+    threshold sweep in resident triangle chunks combined by min-t
+    (traverse._sweep_exact) — results must match brute force exactly,
+    sorted and unsorted."""
+    rng = np.random.default_rng(9)
+    from raytracer_odin_tpu.ops import pallas_intersect as pi
+
+    p, u, v = random_triangles(rng, 900)
+    scene = make_scene(p, u, v)
+    assert scene.ptri.shape[1] == 12  # resident layout
+    # Force ~4 chunks of 4 clusters each (900 tris -> 15 clusters).
+    monkeypatch.setenv("RT_TPU_CHUNK_TRIS", str(4 * pi.LEAF))
+    o, d = rays(rng, 600)
+    tb, ib, _, _ = traverse.cast_rays_brute(scene, o, d, chunk=1024)
+    for sort in (False, True):
+        tp, ip, _, _ = traverse.cast_rays_pallas(
+            scene, o, d, culled=True, sort=sort
+        )
+        ib_, ip_ = np.asarray(ib), np.asarray(ip)
+        assert np.array_equal(ib_ >= 0, ip_ >= 0), f"sort={sort}"
+        hit = ib_ >= 0
+        assert np.allclose(
+            np.asarray(tb)[hit], np.asarray(tp)[hit], rtol=1e-4, atol=1e-4
+        ), f"sort={sort}"
