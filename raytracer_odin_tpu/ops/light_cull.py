@@ -205,7 +205,9 @@ def light_pdf_sum_culled(scene, o, d, cap: int = 128):
     # counts+lists (4050 blocks x (cap+1) i32) are ~2 MB and crash the
     # device, which a small render never exercises.
     nb = npad // pi.RB
-    max_blocks = max(64, pi.SMEM_BUDGET_BYTES // (4 * (cap + 1)))
+    max_blocks = max(
+        64, pi.SMEM_BUDGET_BYTES // (4 * (pi._smem_cols(cap) + 1))
+    )
     if nb <= max_blocks:
         out = _culled_call(counts, lists, rays, scene.light_rows)
     else:

@@ -561,6 +561,14 @@ def _culled_call(counts, lists, rays, tris):
 SMEM_BUDGET_BYTES = 700_000
 
 
+def _smem_cols(c: int) -> int:
+    """SMEM allocation width of a [rows, c] scalar-prefetch array: the
+    minor dim is lane-padded to a 128 multiple (measured: a [2720, 55] i32
+    lists array allocates 2720 x 128 x 4 = 1,392,640 bytes and crashes the
+    1 MB SMEM — budget math on the logical width under-counts ~2.3x)."""
+    return -(-c // 128) * 128
+
+
 def list_block(scene_tris) -> int:
     """Lane granularity of the cluster lists for this packed layout: RB_SUB
     for VMEM-resident sweeps (tighter unions, same kernel grid), RB for
@@ -578,7 +586,9 @@ def intersect_culled_rows(scene_tris, counts, lists, rays):
     nb = npad // RB
     sub = RB // list_block(scene_tris)  # list rows per kernel block
     c = lists.shape[1]
-    max_blocks = max(64, SMEM_BUDGET_BYTES // (4 * (c + 1) * sub))
+    max_blocks = max(
+        64, SMEM_BUDGET_BYTES // (4 * (_smem_cols(c) + 1) * sub)
+    )
     if nb <= max_blocks:
         return _culled_call(counts, lists, rays, scene_tris)
     n_chunks = -(-nb // max_blocks)
