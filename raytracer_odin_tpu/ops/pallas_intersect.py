@@ -491,13 +491,20 @@ def intersect_brute(scene_tris, o, d):
 
 
 # Per-sweep-call VMEM triangle budget (lane padding makes a resident row
-# cost 512 B of VMEM: ~24k rows ~ 12 MB). Scenes above this are swept in
-# resident CHUNKS (traverse._sweep_exact): k back-to-back kernel calls over
-# [chunk] triangle slices combined by min-t — measured far cheaper than
+# cost 512 B of VMEM; the culled call raises Mosaic's scoped-VMEM limit
+# above its 16 MB default when needed — 96k rows ~ 49 MB of the v5e's
+# 128 MB). Scenes above this are swept in resident CHUNKS
+# (traverse._sweep_exact): k back-to-back kernel calls over [chunk]
+# triangle slices combined by min-t — measured far cheaper than
 # DMA-streaming per cluster, whose 128-wide rows move ~10.7x the useful
-# bytes (city 1080p: 5.67 Mrays/s streamed). Streaming remains the fallback
-# above RT_TPU_STREAM_TRIS (default 8 chunks), where per-chunk fixed costs
-# would pile up.
+# bytes (city 1080p: 5.67 Mrays/s streamed vs 9.17 in 24k-tri chunks).
+# Streaming remains the fallback above RT_TPU_STREAM_TRIS (default 8
+# chunks), where per-chunk fixed costs would pile up. 24k measured best
+# on the 51.8k-tri city: 9.17 Mrays/s in 3 chunks vs 6.3 as ONE resident
+# 26 MB call (scoped-VMEM limit raised) — the whole-scene call is
+# strictly slower despite identical per-block list work; chunk slices
+# keep each call's triangle block comfortably inside default VMEM
+# scheduling.
 VMEM_RESIDENT_TRIS = 24 * 1024
 
 
@@ -548,11 +555,25 @@ def _culled_call(counts, lists, rays, tris):
         if stream
         else functools.partial(_culled_kernel, n_clusters=n_clusters)
     )
+    kwargs = {}
+    if not stream and not _interpret():
+        # Mosaic's default scoped-VMEM limit is 16 MB; a resident triangle
+        # array costs rows x 512 B (12-wide rows are lane-padded to 128).
+        # Raising the per-kernel limit admits chunk sizes beyond ~28k rows
+        # (RT_TPU_CHUNK_TRIS experiments); measured on city, one 26 MB
+        # whole-scene call is SLOWER than 3 default-VMEM chunks, so this
+        # engages only when the triangles alone exceed the default limit.
+        need = tris.shape[0] * 512 + (6 << 20)
+        if tris.shape[0] * 512 > (15 << 20):
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=min(int(need), 110 << 20)
+            )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((8, npad), jnp.float32),
         interpret=_interpret(),
+        **kwargs,
     )(counts, lists, rays, tris)
 
 
