@@ -19,6 +19,7 @@ from collections import defaultdict
 W, H, DEPTH = 1920, 1080, 8
 STEPS = int(os.environ.get("RT_PROFILE_STEPS", "2"))
 TRACE_DIR = os.environ.get("RT_PROFILE_DIR", "/tmp/rt_trace")
+SCENE = os.environ.get("RT_PROFILE_SCENE", "demo")
 
 
 def run_render() -> None:
@@ -34,7 +35,7 @@ def run_render() -> None:
     from raytracer_odin_tpu.models import assets, build
     from raytracer_odin_tpu.render import accum, runtime
 
-    info = assets.generate("demo", "/tmp/bench_scenes")
+    info = assets.generate(SCENE, "/tmp/bench_scenes")
     host = gltf.read_gltf(info["gltf"])
     scene = build.finish_scene(host)
     fov_x = host.cam.fov_x * (W / H)
