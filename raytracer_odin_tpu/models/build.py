@@ -126,8 +126,8 @@ def finish_scene(host: HostScene, env_map: HostTexture | None = None,
     # inlining loses nothing). The layout is scene-specialized: the row
     # gather dominates material-eval cost on TPU, so blocks the scene cannot
     # exercise are not packed. Hit positions come from o + d*t (exact ray
-    # algebra), so p/u/v never ride the row. The (name, offset) layout is
-    # static pytree aux consumed by ops/integrator._point_material.
+    # algebra). The (name, offset) layout is static pytree aux consumed by
+    # ops/integrator._point_material.
     tmat = g(host.mat_index) if n_tri else np.zeros(0, np.int32)
     if n_tri:
         tex_kinds = tuple(bool(k) for k in (mat_tex[tmat] >= 0).any(axis=0))
@@ -145,6 +145,13 @@ def finish_scene(host: HostScene, env_map: HostTexture | None = None,
                ("roughness", 1)]
     if need_tex:
         blocks.append(("texids", 4))
+    # Triangle geometry (p, u, v) rides the row so the winner's
+    # barycentrics can be recomputed per lane at shade time — the Pallas
+    # sweep kernel returns only (t, index); selecting u/v in-kernel cost
+    # two sublane reduces per cluster test (~15% of the dominant kernel),
+    # while widening this already-paid row gather is free (gather cost is
+    # per row, indifferent to width — see the consolidation note above).
+    blocks += [("tri_p", 3), ("tri_u", 3), ("tri_v", 3)]
     row_spec, off = [], 0
     for name, width in blocks:
         row_spec.append((name, off))
@@ -176,6 +183,9 @@ def finish_scene(host: HostScene, env_map: HostTexture | None = None,
         put("roughness", mat_roughness[tmat])
         if need_tex:
             put("texids", mat_tex[tmat].astype(np.float32))
+        put("tri_p", g(host.p))
+        put("tri_u", g(host.u))
+        put("tri_v", g(host.v))
 
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     i32 = lambda a: jnp.asarray(a, jnp.int32)

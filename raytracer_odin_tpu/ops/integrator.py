@@ -73,30 +73,36 @@ class TraceOptions(NamedTuple):
     lane_schedule: tuple = None
 
 
-def _point_material(scene, o, d, t, tri_idx, bu, bv):
+def _point_material(scene, o, d, t, tri_idx):
     """Evaluate the hit-point material (raytracer.odin:448-488).
 
-    All per-triangle data (attributes + inlined material) arrives in one
-    contiguous row-gather (scene.shade_row) — the dominant cost of this
-    stage on TPU is gathers, so it is exactly one per hit plus the texture
-    taps. The row layout is scene-specialized (models/build.py): blocks the
-    scene cannot use are not packed, and the corresponding math (texcoord
-    interpolation, tangent-space normal mapping, per-kind texture gathers)
-    compiles out entirely — the TPU analogue of the reference's
-    compile-time `when` gating (main.odin:17-18).
+    All per-triangle data (attributes + inlined material + triangle
+    geometry) arrives in one contiguous row-gather (scene.shade_row) — the
+    dominant cost of this stage on TPU is gathers, so it is exactly one per
+    hit plus the texture taps. The row layout is scene-specialized
+    (models/build.py): blocks the scene cannot use are not packed, and the
+    corresponding math (texcoord interpolation, tangent-space normal
+    mapping, per-kind texture gathers) compiles out entirely — the TPU
+    analogue of the reference's compile-time `when` gating
+    (main.odin:17-18).
 
     The hit position is o + d*t — exact for the `cast_ray` convention
     (RAY_EPS pushed into the origin and re-added to t,
     raytracer.odin:416-430) — instead of the reference's barycentric
     interpolation p + bu*u + bv*v; the two agree to float rounding.
 
+    Barycentrics are recomputed HERE from the row's triangle geometry (the
+    Pallas sweep kernel returns only the hit decision; selecting u/v
+    in-kernel cost two sublane reduces per cluster test). The arithmetic is
+    the kernel's Moller-Trumbore on the RAY_EPS-offset origin with exact
+    division — the same values up to float-association ULPs.
+
     Returns dict with pos, normal (possibly normal-mapped, not yet
     inside-flipped), ng, color, emission, metallic, roughness, inside.
     """
+    from raytracer_odin_tpu.ops.geometry import RAY_EPS
+
     ti = jnp.maximum(tri_idx, 0)
-    w0 = (1.0 - bu - bv)[..., None]
-    w1 = bu[..., None]
-    w2 = bv[..., None]
     spec = dict(scene.row_spec)
     kinds = scene.tex_kinds
 
@@ -105,6 +111,29 @@ def _point_material(scene, o, d, t, tri_idx, bu, bv):
     def blk(name, width):
         s = spec[name]
         return row[..., s:s + width]
+
+    # Moller-Trumbore on 3-wide row slices + fused cross/dot — per-column
+    # scalar extracts (row[..., s]) each materialize their own relayout
+    # fusion (trace-measured ~2 ms/step EACH at 1080p); the k-wide
+    # slice -> elementwise -> last-axis-sum shape fuses like the
+    # interpolations below.
+    oo = o + d * RAY_EPS
+    u3 = blk("tri_u", 3)
+    v3 = blk("tri_v", 3)
+    pv = jnp.cross(d, v3)
+    det = jnp.sum(u3 * pv, axis=-1)
+    # Winners always have det != 0 (the kernel's inside test rejected
+    # non-finite barycentrics); the guard keeps MISS lanes (index clamped
+    # to 0) at benign zero barycentrics instead of NaN texcoords.
+    inv = jnp.where(det != 0, 1.0 / det, 0.0)
+    tv = oo - blk("tri_p", 3)
+    bu = jnp.sum(tv * pv, axis=-1) * inv
+    qv = jnp.cross(tv, u3)
+    bv = jnp.sum(d * qv, axis=-1) * inv
+
+    w0 = (1.0 - bu - bv)[..., None]
+    w1 = bu[..., None]
+    w2 = bv[..., None]
 
     def vblk(name, i, k):
         # i-th k-wide vertex attribute of a 3-vertex block: a direct lane
@@ -196,7 +225,7 @@ def _point_material(scene, o, d, t, tri_idx, bu, bv):
 lane_uniforms = prng.uniforms
 
 
-def eval_bounce(scene, o, d, t, tri_idx, bu, bv, uniforms, opts: TraceOptions,
+def eval_bounce(scene, o, d, t, tri_idx, uniforms, opts: TraceOptions,
                 has_lights: bool):
     """Shared per-vertex shading logic (used by the batched trace and the
     persistent wavefront pool): material evaluation, mixture sampling, pdf,
@@ -205,7 +234,7 @@ def eval_bounce(scene, o, d, t, tri_idx, bu, bv, uniforms, opts: TraceOptions,
     Returns dict: hit_valid-independent fields are garbage on misses and
     must be masked by the caller (`hit`).
     """
-    m = _point_material(scene, o, d, t, tri_idx, bu, bv)
+    m = _point_material(scene, o, d, t, tri_idx)
     flip = m["inside"][..., None]
     normal = jnp.where(flip, -m["normal"], m["normal"])
 
@@ -231,7 +260,7 @@ def eval_bounce(scene, o, d, t, tri_idx, bu, bv, uniforms, opts: TraceOptions,
     }
 
 
-def _shade_vertex(scene, o, d, t, tri_idx, alive, bu, bv, uniforms, opts,
+def _shade_vertex(scene, o, d, t, tri_idx, alive, uniforms, opts,
                   has_lights, throughput, radiance):
     """One path vertex after the cast: env contribution on miss, emission
     on hit, mixture sample + continuation rule, throughput update. Shared
@@ -249,8 +278,7 @@ def _shade_vertex(scene, o, d, t, tri_idx, alive, bu, bv, uniforms, opts,
             missed[..., None], throughput * env, 0.0
         )
 
-    ev = eval_bounce(scene, o, d, t, tri_idx, bu, bv, uniforms, opts,
-                     has_lights)
+    ev = eval_bounce(scene, o, d, t, tri_idx, uniforms, opts, has_lights)
     radiance = radiance + jnp.where(
         hit[..., None], throughput * ev["material"]["emission"], 0.0
     )
@@ -310,7 +338,7 @@ def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None,
         alive_n = jnp.sum(alive.astype(jnp.int32))
         rays = rays + alive_n
 
-        t, tri_idx, bu, bv = traverse.cast_rays(
+        t, tri_idx, _bu, _bv = traverse.cast_rays(
             scene, o, d,
             intersector=opts.intersector,
             brute_chunk=opts.brute_chunk,
@@ -323,7 +351,7 @@ def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None,
         uniforms = prng.uniforms(base_key, sample, b, stream_ids, 6)
 
         new_o, new_d, throughput, radiance, cont, ev, hit, missed = (
-            _shade_vertex(scene, o, d, t, tri_idx, alive, bu, bv, uniforms,
+            _shade_vertex(scene, o, d, t, tri_idx, alive, uniforms,
                           opts, has_lights, throughput, radiance)
         )
         m = ev["material"]
@@ -463,12 +491,23 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
 
       bounce 0   tiled full-width cast + shade (camera rays, image order)
       bounce b   exact masks -> lexicographic (dead|octant, masks) sort of
-                 the FULL state (rays, throughput, radiance, stream, lane
-                 id) -> slice to schedule[b-1] lanes (alive lanes are a
+                 (keys, position) ONLY -> the full per-lane state follows
+                 through ONE row-gather of a consolidated [N, 13] state
+                 table -> slice to schedule[b-1] lanes (alive lanes are a
                  sorted prefix; the tail is dead and retires its radiance)
                  -> presorted cast (no unsort) -> shade in sorted order
       merge      every lane retires exactly once, so one concat + one sort
-                 by lane id rebuilds the image order scatter-free.
+                 by lane id + one row-gather rebuilds the image order
+                 scatter-free.
+
+    Why a table + gather instead of sort payload columns: TPU lax.sort
+    cost is proportional to total operand columns (trace-measured
+    ~1.3 ms per 2M-lane column — 18 columns made the sorts the second
+    largest device-time bucket), while a row-gather costs a ~flat
+    2-4 ms per 2M rows REGARDLESS of row width. The r2-measured gather
+    regression (544 vs 326 ms/step) gathered 5 separate arrays per
+    bounce — XLA never merges gathers of different arrays — so the win
+    requires consolidating the whole state into ONE table first.
 
     The reference analogue: recursion simply *ends* for dead paths
     (raytracer.odin:495-496); here the batched wavefront stops paying for
@@ -494,14 +533,14 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
     alive = jnp.ones(batch_shape, bool)
     rays = jnp.asarray(n0, jnp.int32)
     alive_counts = [rays]
-    t, tri_idx, bu, bv = traverse.cast_rays(
+    t, tri_idx, _bu, _bv = traverse.cast_rays(
         scene, o, d, intersector="pallas", sort=False
     )
     uniforms = prng.uniforms(base_key, sample, 0, stream_ids, 6)
     throughput = jnp.ones(batch_shape + (3,), jnp.float32)
     radiance = jnp.zeros(batch_shape + (3,), jnp.float32)
     o, d, throughput, radiance, alive, _ev, _hit, _missed = _shade_vertex(
-        scene, o, d, t, tri_idx, alive, bu, bv, uniforms, opts, has_lights,
+        scene, o, d, t, tri_idx, alive, uniforms, opts, has_lights,
         throughput, radiance,
     )
 
@@ -515,7 +554,7 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
     alive = flat(alive)
     # With an affine stream promise the per-lane stream id is a pure
     # function of the carried lane id (stream_base + iota), so it rides the
-    # sorts for free instead of costing a payload column per bounce.
+    # table for free instead of costing a state column per bounce.
     affine = stream_base is not None
     stream = None if affine else flat(stream_ids)
     iota = jnp.arange(n0p, dtype=jnp.int32)
@@ -542,67 +581,91 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
     far_o = jnp.asarray([BIG, 0.0, 0.0], jnp.float32)
     unit_x = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
 
+    # The lane id rides the f32 state table only while exact there
+    # (< 2^24); huge renders fall back to an i32 sort-payload column.
+    # Non-affine stream ids (arbitrary i32) always ride as a payload
+    # column — their range is caller-controlled.
+    ids_in_table = n0p < (1 << 24)
+
+    def make_table(o2, d2, thr, rad, alive, iota):
+        """Consolidated per-lane state rows [N, 12..13]: o, d (dead lanes
+        pre-replaced by degenerate far rays: empty masks, dead-last sort),
+        throughput, radiance, then the lane id as exact f32."""
+        cols = [
+            jnp.where(alive[:, None], o2, far_o),
+            jnp.where(alive[:, None], d2, unit_x),
+            thr, rad,
+        ]
+        if ids_in_table:
+            cols.append(iota.astype(jnp.float32)[:, None])
+        return jnp.concatenate(cols, axis=-1)
+
+    tab = make_table(o2, d2, thr, rad, alive, iota)
+
     for b in range(1, depth):
         s_width = schedule[b - 1] if b - 1 < len(schedule) else schedule[-1]
         s_width = max(rb, min(width, (int(s_width) // rb) * rb))
 
-        # Dead lanes become degenerate far rays: empty masks, dead-last sort.
-        o_dead = jnp.where(alive[:, None], o2, far_o)
-        d_dead = jnp.where(alive[:, None], d2, unit_x)
-        octant = traverse._ray_octant(d_dead)
-        ocx, ocy, ocz = o_dead[:, 0], o_dead[:, 1], o_dead[:, 2]
-        dcx, dcy, dcz = d_dead[:, 0], d_dead[:, 1], d_dead[:, 2]
-        payload = (
-            ocx, ocy, ocz, dcx, dcy, dcz,
-            thr[:, 0], thr[:, 1], thr[:, 2],
-            rad[:, 0], rad[:, 1], rad[:, 2],
-            iota,
-        ) + (() if affine else (stream,))
-        # Mask-kernel rows straight from the payload columns (one axis-0
-        # stack; the lane-major [N, 3] -> [8, N] transpose pack_rays would
-        # pay costs a full-width relayout per bounce).
-        zcol = jnp.zeros_like(ocx)
-        rays_pre = jnp.stack(
-            [ocx + dcx * RAY_EPS, ocy + dcy * RAY_EPS, ocz + dcz * RAY_EPS,
-             dcx, dcy, dcz, zcol, zcol], axis=0,
+        # Kernel-row views of the table: one [N, 6] -> [6, N] relayout
+        # (extracting per-component 1D columns from the row-major table
+        # would pay one relayout PER column).
+        od = tab[:, 0:6].T
+        zrow = jnp.zeros((2, width), jnp.float32)
+        rays_pre = jnp.concatenate(
+            [od[0:3] + od[3:6] * RAY_EPS, od[3:6], zrow], axis=0
+        )
+        octant = (
+            (od[3] < 0).astype(jnp.int32)
+            + 2 * (od[4] < 0).astype(jnp.int32)
+            + 4 * (od[5] < 0).astype(jnp.int32)
         )
         words_p = pi.cluster_masks_rows(aabb8, rays_pre, n_super)
         keys, word_slots = traverse._lex_sort_keys(
             alive, octant, [words_p[i] for i in range(words_p.shape[0])],
             n_super,
         )
+        pos = jnp.arange(width, dtype=jnp.int32)
+        extras = ()
+        if not ids_in_table:
+            extras = extras + (iota,)
+        if not affine:
+            extras = extras + (stream,)
         sorted_ops = jax.lax.sort(
-            tuple(keys) + payload, num_keys=len(keys)
+            tuple(keys) + extras + (pos,), num_keys=len(keys)
         )
         s_words = jnp.stack(
             [sorted_ops[i][:s_width] for i in word_slots], axis=0
         )
-        vals = sorted_ops[len(keys):]
+        sp = sorted_ops[-1]
+        # ONE row-gather moves the whole state through the permutation.
+        tab = jnp.take(tab, sp, axis=0)
 
         n_alive = jnp.sum(alive.astype(jnp.int32))
         alive_counts.append(n_alive)
         overflow = overflow + jnp.maximum(0, n_alive - s_width)
 
+        e = len(keys)
+        if ids_in_table:
+            iota_all = tab[:, 12].astype(jnp.int32)
+        else:
+            iota_all = sorted_ops[e]
+            e += 1
+        stream_all = None if affine else sorted_ops[e]
+
         # The tail is dead (or overflow, which poisons the render): its
         # radiance is final — retire it for the scatter-free merge.
-        retired_iota.append(vals[12][s_width:])
-        retired_rad.append(
-            jnp.stack(
-                [vals[9][s_width:], vals[10][s_width:], vals[11][s_width:]],
-                axis=-1,
-            )
-        )
+        retired_iota.append(iota_all[s_width:])
+        retired_rad.append(tab[s_width:, 9:12])
 
-        sox, soy, soz = (v[:s_width] for v in vals[0:3])
-        sdx, sdy, sdz = (v[:s_width] for v in vals[3:6])
-        o2 = jnp.stack([sox, soy, soz], axis=-1)
-        d2 = jnp.stack([sdx, sdy, sdz], axis=-1)
-        thr = jnp.stack([v[:s_width] for v in vals[6:9]], axis=-1)
-        rad = jnp.stack([v[:s_width] for v in vals[9:12]], axis=-1)
-        iota = vals[12][:s_width]
+        tab = tab[:s_width]
+        o2 = tab[:, 0:3]
+        d2 = tab[:, 3:6]
+        thr = tab[:, 6:9]
+        rad = tab[:, 9:12]
+        iota = iota_all[:s_width]
         stream = (
             jnp.asarray(stream_base, jnp.int32) + iota
-            if affine else vals[13][:s_width]
+            if affine else stream_all[:s_width]
         )
         alive = jnp.arange(s_width, dtype=jnp.int32) < n_alive
         width = s_width
@@ -610,31 +673,31 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
         # Cast count: alive lanes are a sorted prefix, so the post-slice
         # count is min(n_alive, s_width) exactly — no full-width reduce.
         rays = rays + jnp.minimum(n_alive, s_width)
-        # Sweep-kernel rows from the sorted columns (RAY_EPS-offset; same
+        # Sweep-kernel rows from the sliced table (RAY_EPS-offset; same
         # cast_ray semantics as cast_presorted, raytracer.odin:416-430).
-        zs = jnp.zeros_like(sox)
-        rays_sorted = jnp.stack(
-            [sox + sdx * RAY_EPS, soy + sdy * RAY_EPS, soz + sdz * RAY_EPS,
-             sdx, sdy, sdz, zs, zs], axis=0,
+        ods = tab[:, 0:6].T
+        zs = jnp.zeros((2, s_width), jnp.float32)
+        rays_sorted = jnp.concatenate(
+            [ods[0:3] + ods[3:6] * RAY_EPS, ods[3:6], zs], axis=0
         )
-        t, tri_idx, bu, bv = traverse.cast_presorted_rows(
+        t, tri_idx, _bu, _bv = traverse.cast_presorted_rows(
             scene, rays_sorted, words=s_words
         )
         uniforms = prng.uniforms(base_key, sample, b, stream, 6)
         o2, d2, thr, rad, alive, _ev, _h, _m = _shade_vertex(
-            scene, o2, d2, t, tri_idx, alive, bu, bv, uniforms, opts,
+            scene, o2, d2, t, tri_idx, alive, uniforms, opts,
             has_lights, thr, rad,
         )
+        tab = make_table(o2, d2, thr, rad, alive, iota)
 
     # ---- scatter-free merge: each lane id appears exactly once ----
     retired_iota.append(iota)
     retired_rad.append(rad)
     all_iota = jnp.concatenate(retired_iota)
     all_rad = jnp.concatenate(retired_rad, axis=0)
-    _, r0, r1, r2 = jax.lax.sort(
-        (all_iota, all_rad[:, 0], all_rad[:, 1], all_rad[:, 2]), num_keys=1
-    )
-    radiance = jnp.stack([r0, r1, r2], axis=-1)[:n0].reshape(
+    mpos = jnp.arange(all_iota.shape[0], dtype=jnp.int32)
+    _, sp2 = jax.lax.sort((all_iota, mpos), num_keys=1)
+    radiance = jnp.take(all_rad, sp2[:n0], axis=0).reshape(
         batch_shape + (3,)
     )
     aux = {

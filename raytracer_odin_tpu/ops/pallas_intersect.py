@@ -26,7 +26,8 @@ Triangle layout: [Tpad, 12] f32 (VMEM-resident) or [Tpad, 128] f32
 padded to a multiple of LEAF=64 with degenerate rows; columns = px py pz
 ux uy uz vx vy vz (rest pad).
 Ray layout: [8, Npad] f32 rows = ox oy oz dx dy dz (2 pad).
-Output: [8, Npad] f32 rows = t bu bv tri_index (as f32; exact below 2^24).
+Output: [8, Npad] f32 rows = t, tri_index (as f32; exact below 2^24);
+barycentrics are recomputed per lane at shade time (see unpack_hits).
 """
 
 from __future__ import annotations
@@ -70,12 +71,19 @@ def _rcp(x):
 
 
 def _cluster_test(tris_ref, base, ox, oy, oz, dx, dy, dz,
-                  best_t, best_u, best_v, best_i, index_base=None):
+                  best_t, best_i, index_base=None):
     """Test LEAF consecutive triangles (starting at row `base` of tris_ref)
-    against the ray block. All ray inputs (1, RB); returns updated bests.
-    `index_base` is the global triangle index of row `base` (defaults to
-    base; the streaming kernel reads from a local scratch but must report
-    global indices)."""
+    against the ray block. All ray inputs (1, RB); returns updated
+    (best_t, best_i). `index_base` is the global triangle index of row
+    `base` (defaults to base; the streaming kernel reads from a local
+    scratch but must report global indices).
+
+    The kernel returns only the hit DECISION (t, triangle index): the
+    winner's barycentrics are recomputed per lane at shade time from the
+    shade_row gather that material evaluation pays anyway
+    (integrator._point_material) — selecting u/v in here cost two extra
+    sublane reduces + a one-hot select per cluster test (trace-measured
+    ~15% of the sweep kernel, the single largest device-time bucket)."""
     if index_base is None:
         index_base = base
 
@@ -103,7 +111,10 @@ def _cluster_test(tris_ref, base, ox, oy, oz, dx, dy, dz,
     bv = (dx * qx + dy * qy + dz * qz) * inv
     t = (vx * qx + vy * qy + vz * qz) * inv
 
-    ok = (bu >= 0) & (bv >= 0) & (bu + bv <= 1) & (t > 0) & (t < best_t)
+    # Inside test folded to one sign check (NaNs propagate -> compare
+    # false, same kill rule as the reference's comparison).
+    inside = jnp.minimum(jnp.minimum(bu, bv), 1.0 - (bu + bv)) >= 0
+    ok = inside & (t > 0) & (t < best_t)
     t_ok = jnp.where(ok, t, BIG)
     tmin = jnp.min(t_ok, axis=0, keepdims=True)          # (1, RB)
     better = tmin < best_t
@@ -112,22 +123,17 @@ def _cluster_test(tris_ref, base, ox, oy, oz, dx, dy, dz,
     rows = jax.lax.broadcasted_iota(jnp.int32, (LEAF, 1), 0).astype(jnp.float32)
     row_sel = jnp.where(t_ok <= tmin, rows, jnp.float32(LEAF))
     win_row = jnp.min(row_sel, axis=0, keepdims=True)     # (1, RB)
-    onehot = rows == win_row
-    u_sel = jnp.sum(jnp.where(onehot, bu, 0.0), axis=0, keepdims=True)
-    v_sel = jnp.sum(jnp.where(onehot, bv, 0.0), axis=0, keepdims=True)
 
     idx = jnp.asarray(index_base, jnp.float32) + win_row
-    best_u = jnp.where(better, u_sel, best_u)
-    best_v = jnp.where(better, v_sel, best_v)
     best_i = jnp.where(better, idx, best_i)
     best_t = jnp.where(better, tmin, best_t)
-    return best_t, best_u, best_v, best_i
+    return best_t, best_i
 
 
-def _finish(out_ref, best_t, best_u, best_v, best_i):
+def _finish(out_ref, best_t, best_i):
     pad = jnp.zeros_like(best_t)
     out_ref[:] = jnp.concatenate(
-        [best_t, best_u, best_v, best_i, pad, pad, pad, pad], axis=0
+        [best_t, best_i, pad, pad, pad, pad, pad, pad], axis=0
     )
 
 
@@ -141,8 +147,6 @@ def _brute_kernel(rays_ref, tris_ref, out_ref, *, n_clusters: int):
 
     init = (
         jnp.full((1, RB), BIG, jnp.float32),
-        jnp.zeros((1, RB), jnp.float32),
-        jnp.zeros((1, RB), jnp.float32),
         jnp.full((1, RB), -1.0, jnp.float32),
     )
 
@@ -151,10 +155,8 @@ def _brute_kernel(rays_ref, tris_ref, out_ref, *, n_clusters: int):
             tris_ref, c * LEAF, ox, oy, oz, dx, dy, dz, *carry
         )
 
-    best_t, best_u, best_v, best_i = jax.lax.fori_loop(
-        0, n_clusters, body, init
-    )
-    _finish(out_ref, best_t, best_u, best_v, best_i)
+    best_t, best_i = jax.lax.fori_loop(0, n_clusters, body, init)
+    _finish(out_ref, best_t, best_i)
 
 
 def _culled_kernel(counts_ref, lists_ref, rays_ref, tris_ref,
@@ -192,8 +194,6 @@ def _culled_kernel(counts_ref, lists_ref, rays_ref, tris_ref,
 
         init = (
             jnp.full((1, RB_SUB), BIG, jnp.float32),
-            jnp.zeros((1, RB_SUB), jnp.float32),
-            jnp.zeros((1, RB_SUB), jnp.float32),
             jnp.full((1, RB_SUB), -1.0, jnp.float32),
         )
 
@@ -210,10 +210,8 @@ def _culled_kernel(counts_ref, lists_ref, rays_ref, tris_ref,
 
         outs.append(jax.lax.fori_loop(0, n, body, init))
     best_t = jnp.concatenate([o[0] for o in outs], axis=1)
-    best_u = jnp.concatenate([o[1] for o in outs], axis=1)
-    best_v = jnp.concatenate([o[2] for o in outs], axis=1)
-    best_i = jnp.concatenate([o[3] for o in outs], axis=1)
-    _finish(out_ref, best_t, best_u, best_v, best_i)
+    best_i = jnp.concatenate([o[1] for o in outs], axis=1)
+    _finish(out_ref, best_t, best_i)
 
 
 def _culled_stream_kernel(counts_ref, lists_ref, rays_ref, tris_hbm,
@@ -253,8 +251,6 @@ def _culled_stream_kernel(counts_ref, lists_ref, rays_ref, tris_hbm,
 
     init = (
         jnp.full((1, RB), BIG, jnp.float32),
-        jnp.zeros((1, RB), jnp.float32),
-        jnp.zeros((1, RB), jnp.float32),
         jnp.full((1, RB), -1.0, jnp.float32),
     )
 
@@ -272,8 +268,8 @@ def _culled_stream_kernel(counts_ref, lists_ref, rays_ref, tris_hbm,
             index_base=cid_of(k) * LEAF,
         )
 
-    best_t, best_u, best_v, best_i = jax.lax.fori_loop(0, n, body, init)
-    _finish(out_ref, best_t, best_u, best_v, best_i)
+    best_t, best_i = jax.lax.fori_loop(0, n, body, init)
+    _finish(out_ref, best_t, best_i)
 
 
 def _mask_kernel(rays_ref, aabb_ref, out_ref, *, n_words: int,
@@ -301,9 +297,23 @@ def _mask_kernel(rays_ref, aabb_ref, out_ref, *, n_words: int,
     ox = rays_ref[0:1, :]
     oy = rays_ref[1:2, :]
     oz = rays_ref[2:3, :]
-    ivx = 1.0 / rays_ref[3:4, :]
-    ivy = 1.0 / rays_ref[4:5, :]
-    ivz = 1.0 / rays_ref[5:6, :]
+    # Clamp |d| components away from zero (sign-preserving) so the slab
+    # products can never hit 0 * inf = NaN — this deletes two isnan+select
+    # pairs per axis per cluster group (trace-measured ~25% of the kernel).
+    # Conservative: a true |d| < TINY moves < BIG*TINY ~ 3e8 units on that
+    # axis only at astronomically large t; real hits (t <= scene diameter)
+    # are never culled, and origins exactly on a slab plane now get the
+    # exact [0, huge] window instead of the old fully-unbounded fallback.
+    TINY = jnp.float32(1e-30)
+
+    def safe_inv(dc):
+        return 1.0 / jnp.where(
+            jnp.abs(dc) >= TINY, dc, jnp.where(dc < 0, -TINY, TINY)
+        )
+
+    ivx = safe_inv(rays_ref[3:4, :])
+    ivy = safe_inv(rays_ref[4:5, :])
+    ivz = safe_inv(rays_ref[5:6, :])
     tmax = rays_ref[6:7, :] if tmax_row else None
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
@@ -311,14 +321,12 @@ def _mask_kernel(rays_ref, aabb_ref, out_ref, *, n_words: int,
     def axis(lo, hi, o, iv):
         t1 = (lo - o) * iv
         t2 = (hi - o) * iv
-        tmin = jnp.minimum(t1, t2)
-        tmax = jnp.maximum(t1, t2)
-        tmin = jnp.where(jnp.isnan(tmin), -BIG, tmin)
-        tmax = jnp.where(jnp.isnan(tmax), BIG, tmax)
-        return tmin, tmax
+        return jnp.minimum(t1, t2), jnp.maximum(t1, t2)
 
     for w in range(n_words):
-        word = jnp.zeros((1, rays_ref.shape[1]), jnp.int32)
+        # Accumulate the word's 4 cluster groups in (8, RB) sublanes and
+        # reduce ONCE per word (bits are disjoint, so sum == bitwise or).
+        acc = jnp.zeros((8, rays_ref.shape[1]), jnp.int32)
         for g in range(4):  # 4 sublane groups of 8 clusters per word
             base = w * 32 + g * 8
 
@@ -334,11 +342,8 @@ def _mask_kernel(rays_ref, aabb_ref, out_ref, *, n_words: int,
             if tmax is not None:
                 hit = hit & (near <= tmax)
             bits = jnp.left_shift(jnp.int32(1), g * 8 + sub)
-            # disjoint bits: sum == bitwise or
-            word = word + jnp.sum(
-                jnp.where(hit, bits, 0), axis=0, keepdims=True,
-                dtype=jnp.int32,
-            )
+            acc = acc + jnp.where(hit, bits, 0)
+        word = jnp.sum(acc, axis=0, keepdims=True, dtype=jnp.int32)
         if n_bits is not None:
             used = n_bits - w * 32
             if used <= 0:
@@ -424,11 +429,12 @@ def pack_rays(o, d):
 
 
 def unpack_hits(out, batch_shape, n):
+    """Kernel output rows -> (t, idx). Rows 2+ are padding: the kernels
+    return only the hit decision; barycentrics are recomputed at shade time
+    from the shade_row gather (integrator._point_material)."""
     t = out[0, :n].reshape(batch_shape)
-    bu = out[1, :n].reshape(batch_shape)
-    bv = out[2, :n].reshape(batch_shape)
-    idx = out[3, :n].reshape(batch_shape).astype(jnp.int32)
-    return t, idx, bu, bv
+    idx = out[1, :n].reshape(batch_shape).astype(jnp.int32)
+    return t, idx
 
 
 def pad_triangles(tri_p, tri_u, tri_v) -> np.ndarray:
@@ -487,7 +493,9 @@ def intersect_brute(scene_tris, o, d):
     """
     rays, batch_shape, n = pack_rays(o, d)
     out = _brute_call(rays, scene_tris, scene_tris.shape[0] // LEAF)
-    return unpack_hits(out, batch_shape, n)
+    t, idx = unpack_hits(out, batch_shape, n)
+    zero = jnp.zeros_like(t)
+    return t, idx, zero, zero
 
 
 # Per-sweep-call VMEM triangle budget (lane padding makes a resident row
@@ -602,7 +610,7 @@ def list_block(scene_tris) -> int:
 def intersect_culled_rows(scene_tris, counts, lists, rays):
     """intersect_culled for rays already packed as [8, Npad] rows (with the
     RAY_EPS offset applied by the caller). Returns the kernel-native
-    [8, Npad] output rows (t, bu, bv, tri_index-as-f32, 4 pad)."""
+    [8, Npad] output rows (t, tri_index-as-f32, 6 pad)."""
     npad = rays.shape[1]
     nb = npad // RB
     sub = RB // list_block(scene_tris)  # list rows per kernel block
@@ -635,4 +643,6 @@ def intersect_culled(scene_tris, counts, lists, o, d):
     """
     rays, batch_shape, n = pack_rays(o, d)
     out = intersect_culled_rows(scene_tris, counts, lists, rays)
-    return unpack_hits(out, batch_shape, n)
+    t, idx = unpack_hits(out, batch_shape, n)
+    zero = jnp.zeros_like(t)
+    return t, idx, zero, zero

@@ -309,10 +309,10 @@ def _sweep_exact(scene, words_packed, rays, g: int, n_super: int,
             scene.ptri, a * pi.LEAF, b * pi.LEAF, axis=0
         )
         oc = pi.intersect_culled_rows(ptri_c, counts, lists, rays)
-        # rebase the chunk-local triangle index (row 3; misses stay -1)
-        idx = oc[3:4]
+        # rebase the chunk-local triangle index (row 1; misses stay -1)
+        idx = oc[1:2]
         oc = jnp.concatenate(
-            [oc[0:3], jnp.where(idx >= 0, idx + a * pi.LEAF, idx), oc[4:8]],
+            [oc[0:1], jnp.where(idx >= 0, idx + a * pi.LEAF, idx), oc[2:8]],
             axis=0,
         )
         out = oc if out is None else jnp.where(oc[0:1] < out[0:1], oc, out)
@@ -399,9 +399,13 @@ def cast_presorted_rows(scene, rays, words=None):
         )
         counts, lists = culling.build_lists(mask, cap=192, near=near)
         out = pi.intersect_culled_rows(scene.ptri, counts, lists, rays)
-    t, idx, bu, bv = pi.unpack_hits(out, (n,), n)
+    t, idx = pi.unpack_hits(out, (n,), n)
     t = jnp.where(idx >= 0, t + RAY_EPS, BIG)
-    return t, idx, bu, bv
+    # Pallas kernels return only the hit decision; barycentrics are
+    # recomputed at shade time (integrator._point_material) from the
+    # shade_row gather — the zeros keep the shared 4-tuple cast interface.
+    zero = jnp.zeros_like(t)
+    return t, idx, zero, zero
 
 
 def cast_presorted(scene, o, d, words=None):
@@ -547,7 +551,7 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
         if w_p.shape[1] != npad:
             w_p = jnp.pad(w_p, ((0, 0), (0, npad - w_p.shape[1])))
         out = _sweep_exact(scene, w_p, rays2, g_exact, n_super)
-        t, idx, bu, bv = pi.unpack_hits(out, (n,), n)
+        t, idx = pi.unpack_hits(out, (n,), n)
     elif culled:
         o_lo, o_hi, d_lo, d_hi = culling.block_bounds_rows(
             rays2, pi.list_block(scene.ptri)
@@ -563,34 +567,29 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
         # (correct, just unculled).
         counts, lists = culling.build_lists(mask, cap=192, near=near)
         out = pi.intersect_culled_rows(scene.ptri, counts, lists, rays2)
-        t, idx, bu, bv = pi.unpack_hits(out, (n,), n)
+        t, idx = pi.unpack_hits(out, (n,), n)
     else:
-        t, idx, bu, bv = pi.intersect_brute(scene.ptri, o2, d2)
+        t, idx, _, _ = pi.intersect_brute(scene.ptri, o2, d2)
 
     if perm is not None:
         # restore original lane order: sort by the carried source positions
         # (perm is a permutation of iota, so this is an exact inverse)
-        (_, t, bu, bv, idx) = jax.lax.sort(
-            (perm, t, bu, bv, idx), num_keys=1
-        )
+        (_, t, idx) = jax.lax.sort((perm, t, idx), num_keys=1)
         t = t.reshape(batch_shape)
-        bu = bu.reshape(batch_shape)
-        bv = bv.reshape(batch_shape)
         idx = idx.reshape(batch_shape)
     elif tiled:
         h, w = batch_shape
         t = culling.from_tiles(t[:, None], h, w)[..., 0]
         idx = culling.from_tiles(idx[:, None], h, w)[..., 0]
-        bu = culling.from_tiles(bu[:, None], h, w)[..., 0]
-        bv = culling.from_tiles(bv[:, None], h, w)[..., 0]
     else:
         t = t.reshape(batch_shape)
         idx = idx.reshape(batch_shape)
-        bu = bu.reshape(batch_shape)
-        bv = bv.reshape(batch_shape)
 
     t = jnp.where(idx >= 0, t + RAY_EPS, BIG)
-    return t, idx, bu, bv
+    # Barycentrics are recomputed at shade time from the shade_row gather
+    # (integrator._point_material); the zeros keep the 4-tuple interface.
+    zero = jnp.zeros_like(t)
+    return t, idx, zero, zero
 
 
 def cast_rays(scene, o, d, *, intersector: str = "auto", brute_chunk: int = 512,

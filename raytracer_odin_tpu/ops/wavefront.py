@@ -131,7 +131,7 @@ def render_pool_step(scene, pstats: PoolStats, base_key, sample_start,
 
         # ---- cast + shade -------------------------------------------------
         rays = rays + jnp.sum(alive.astype(jnp.int32))
-        t, tri_idx, bu, bv = traverse.cast_rays(
+        t, tri_idx, _bu, _bv = traverse.cast_rays(
             scene, o, d,
             intersector=opts.intersector,
             brute_chunk=opts.brute_chunk,
@@ -151,7 +151,7 @@ def render_pool_step(scene, pstats: PoolStats, base_key, sample_start,
         uniforms = _lane_uniforms(
             base_key, sample_start + lane_sample, lane_bounce, lane_pixel, 6
         )
-        ev = eval_bounce(scene, o, d, t, tri_idx, bu, bv, uniforms, opts,
+        ev = eval_bounce(scene, o, d, t, tri_idx, uniforms, opts,
                          has_lights)
         radiance = radiance + jnp.where(
             hit[:, None], throughput * ev["material"]["emission"], 0.0
