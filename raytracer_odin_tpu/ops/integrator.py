@@ -491,23 +491,12 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
 
       bounce 0   tiled full-width cast + shade (camera rays, image order)
       bounce b   exact masks -> lexicographic (dead|octant, masks) sort of
-                 (keys, position) ONLY -> the full per-lane state follows
-                 through ONE row-gather of a consolidated [N, 13] state
-                 table -> slice to schedule[b-1] lanes (alive lanes are a
+                 the FULL state (rays, throughput, radiance, stream, lane
+                 id) -> slice to schedule[b-1] lanes (alive lanes are a
                  sorted prefix; the tail is dead and retires its radiance)
                  -> presorted cast (no unsort) -> shade in sorted order
       merge      every lane retires exactly once, so one concat + one sort
-                 by lane id + one row-gather rebuilds the image order
-                 scatter-free.
-
-    Why a table + gather instead of sort payload columns: TPU lax.sort
-    cost is proportional to total operand columns (trace-measured
-    ~1.3 ms per 2M-lane column — 18 columns made the sorts the second
-    largest device-time bucket), while a row-gather costs a ~flat
-    2-4 ms per 2M rows REGARDLESS of row width. The r2-measured gather
-    regression (544 vs 326 ms/step) gathered 5 separate arrays per
-    bounce — XLA never merges gathers of different arrays — so the win
-    requires consolidating the whole state into ONE table first.
+                 by lane id rebuilds the image order scatter-free.
 
     The reference analogue: recursion simply *ends* for dead paths
     (raytracer.odin:495-496); here the batched wavefront stops paying for
@@ -554,7 +543,7 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
     alive = flat(alive)
     # With an affine stream promise the per-lane stream id is a pure
     # function of the carried lane id (stream_base + iota), so it rides the
-    # table for free instead of costing a state column per bounce.
+    # sorts for free instead of costing a payload column per bounce.
     affine = stream_base is not None
     stream = None if affine else flat(stream_ids)
     iota = jnp.arange(n0p, dtype=jnp.int32)
@@ -581,91 +570,78 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
     far_o = jnp.asarray([BIG, 0.0, 0.0], jnp.float32)
     unit_x = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
 
-    # The lane id rides the f32 state table only while exact there
-    # (< 2^24); huge renders fall back to an i32 sort-payload column.
-    # Non-affine stream ids (arbitrary i32) always ride as a payload
-    # column — their range is caller-controlled.
-    ids_in_table = n0p < (1 << 24)
-
-    def make_table(o2, d2, thr, rad, alive, iota):
-        """Consolidated per-lane state rows [N, 12..13]: o, d (dead lanes
-        pre-replaced by degenerate far rays: empty masks, dead-last sort),
-        throughput, radiance, then the lane id as exact f32."""
-        cols = [
-            jnp.where(alive[:, None], o2, far_o),
-            jnp.where(alive[:, None], d2, unit_x),
-            thr, rad,
-        ]
-        if ids_in_table:
-            cols.append(iota.astype(jnp.float32)[:, None])
-        return jnp.concatenate(cols, axis=-1)
-
-    tab = make_table(o2, d2, thr, rad, alive, iota)
-
+    # MEASURED (r3c, real v5e): moving the state through the permutation as
+    # sort PAYLOAD COLUMNS is the cheapest form, by a wide margin. The
+    # consolidated-table alternative — sort (keys, position) only, then one
+    # [N, 13] row-gather — collapsed the sort bucket 85.7 -> 26.6 ms/step
+    # but the gather cost 126.8 ms/step: XLA laid the table out
+    # column-major ({0,1}: rows minor, so the kernel-row transposes were
+    # free) and each gathered row then touched 13 separate (8,128) tiles.
+    # Sort columns move at ~0.65 ns/element; big-array row gathers at
+    # ~15.6 ns/row. Payload-in-sort IS the TPU-native permutation mover
+    # for wide per-lane state (see also the r2 5-separate-arrays negative
+    # result in ARCHITECTURE.md).
     for b in range(1, depth):
         s_width = schedule[b - 1] if b - 1 < len(schedule) else schedule[-1]
         s_width = max(rb, min(width, (int(s_width) // rb) * rb))
 
-        # Kernel-row views of the table: one [N, 6] -> [6, N] relayout
-        # (extracting per-component 1D columns from the row-major table
-        # would pay one relayout PER column).
-        od = tab[:, 0:6].T
-        zrow = jnp.zeros((2, width), jnp.float32)
-        rays_pre = jnp.concatenate(
-            [od[0:3] + od[3:6] * RAY_EPS, od[3:6], zrow], axis=0
-        )
-        octant = (
-            (od[3] < 0).astype(jnp.int32)
-            + 2 * (od[4] < 0).astype(jnp.int32)
-            + 4 * (od[5] < 0).astype(jnp.int32)
+        # Dead lanes become degenerate far rays: empty masks, dead-last sort.
+        o_dead = jnp.where(alive[:, None], o2, far_o)
+        d_dead = jnp.where(alive[:, None], d2, unit_x)
+        octant = traverse._ray_octant(d_dead)
+        ocx, ocy, ocz = o_dead[:, 0], o_dead[:, 1], o_dead[:, 2]
+        dcx, dcy, dcz = d_dead[:, 0], d_dead[:, 1], d_dead[:, 2]
+        payload = (
+            ocx, ocy, ocz, dcx, dcy, dcz,
+            thr[:, 0], thr[:, 1], thr[:, 2],
+            rad[:, 0], rad[:, 1], rad[:, 2],
+            iota,
+        ) + (() if affine else (stream,))
+        # Mask-kernel rows straight from the payload columns (one axis-0
+        # stack; the lane-major [N, 3] -> [8, N] transpose pack_rays would
+        # pay costs a full-width relayout per bounce).
+        zcol = jnp.zeros_like(ocx)
+        rays_pre = jnp.stack(
+            [ocx + dcx * RAY_EPS, ocy + dcy * RAY_EPS, ocz + dcz * RAY_EPS,
+             dcx, dcy, dcz, zcol, zcol], axis=0,
         )
         words_p = pi.cluster_masks_rows(aabb8, rays_pre, n_super)
         keys, word_slots = traverse._lex_sort_keys(
             alive, octant, [words_p[i] for i in range(words_p.shape[0])],
             n_super,
         )
-        pos = jnp.arange(width, dtype=jnp.int32)
-        extras = ()
-        if not ids_in_table:
-            extras = extras + (iota,)
-        if not affine:
-            extras = extras + (stream,)
         sorted_ops = jax.lax.sort(
-            tuple(keys) + extras + (pos,), num_keys=len(keys)
+            tuple(keys) + payload, num_keys=len(keys)
         )
         s_words = jnp.stack(
             [sorted_ops[i][:s_width] for i in word_slots], axis=0
         )
-        sp = sorted_ops[-1]
-        # ONE row-gather moves the whole state through the permutation.
-        tab = jnp.take(tab, sp, axis=0)
+        vals = sorted_ops[len(keys):]
 
         n_alive = jnp.sum(alive.astype(jnp.int32))
         alive_counts.append(n_alive)
         overflow = overflow + jnp.maximum(0, n_alive - s_width)
 
-        e = len(keys)
-        if ids_in_table:
-            iota_all = tab[:, 12].astype(jnp.int32)
-        else:
-            iota_all = sorted_ops[e]
-            e += 1
-        stream_all = None if affine else sorted_ops[e]
-
         # The tail is dead (or overflow, which poisons the render): its
         # radiance is final — retire it for the scatter-free merge.
-        retired_iota.append(iota_all[s_width:])
-        retired_rad.append(tab[s_width:, 9:12])
+        retired_iota.append(vals[12][s_width:])
+        retired_rad.append(
+            jnp.stack(
+                [vals[9][s_width:], vals[10][s_width:], vals[11][s_width:]],
+                axis=-1,
+            )
+        )
 
-        tab = tab[:s_width]
-        o2 = tab[:, 0:3]
-        d2 = tab[:, 3:6]
-        thr = tab[:, 6:9]
-        rad = tab[:, 9:12]
-        iota = iota_all[:s_width]
+        sox, soy, soz = (v[:s_width] for v in vals[0:3])
+        sdx, sdy, sdz = (v[:s_width] for v in vals[3:6])
+        o2 = jnp.stack([sox, soy, soz], axis=-1)
+        d2 = jnp.stack([sdx, sdy, sdz], axis=-1)
+        thr = jnp.stack([v[:s_width] for v in vals[6:9]], axis=-1)
+        rad = jnp.stack([v[:s_width] for v in vals[9:12]], axis=-1)
+        iota = vals[12][:s_width]
         stream = (
             jnp.asarray(stream_base, jnp.int32) + iota
-            if affine else stream_all[:s_width]
+            if affine else vals[13][:s_width]
         )
         alive = jnp.arange(s_width, dtype=jnp.int32) < n_alive
         width = s_width
@@ -673,12 +649,12 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
         # Cast count: alive lanes are a sorted prefix, so the post-slice
         # count is min(n_alive, s_width) exactly — no full-width reduce.
         rays = rays + jnp.minimum(n_alive, s_width)
-        # Sweep-kernel rows from the sliced table (RAY_EPS-offset; same
+        # Sweep-kernel rows from the sorted columns (RAY_EPS-offset; same
         # cast_ray semantics as cast_presorted, raytracer.odin:416-430).
-        ods = tab[:, 0:6].T
-        zs = jnp.zeros((2, s_width), jnp.float32)
-        rays_sorted = jnp.concatenate(
-            [ods[0:3] + ods[3:6] * RAY_EPS, ods[3:6], zs], axis=0
+        zs = jnp.zeros_like(sox)
+        rays_sorted = jnp.stack(
+            [sox + sdx * RAY_EPS, soy + sdy * RAY_EPS, soz + sdz * RAY_EPS,
+             sdx, sdy, sdz, zs, zs], axis=0,
         )
         t, tri_idx, _bu, _bv = traverse.cast_presorted_rows(
             scene, rays_sorted, words=s_words
@@ -688,16 +664,16 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
             scene, o2, d2, t, tri_idx, alive, uniforms, opts,
             has_lights, thr, rad,
         )
-        tab = make_table(o2, d2, thr, rad, alive, iota)
 
     # ---- scatter-free merge: each lane id appears exactly once ----
     retired_iota.append(iota)
     retired_rad.append(rad)
     all_iota = jnp.concatenate(retired_iota)
     all_rad = jnp.concatenate(retired_rad, axis=0)
-    mpos = jnp.arange(all_iota.shape[0], dtype=jnp.int32)
-    _, sp2 = jax.lax.sort((all_iota, mpos), num_keys=1)
-    radiance = jnp.take(all_rad, sp2[:n0], axis=0).reshape(
+    _, r0, r1, r2 = jax.lax.sort(
+        (all_iota, all_rad[:, 0], all_rad[:, 1], all_rad[:, 2]), num_keys=1
+    )
+    radiance = jnp.stack([r0, r1, r2], axis=-1)[:n0].reshape(
         batch_shape + (3,)
     )
     aux = {
