@@ -104,6 +104,32 @@ class _Gltf:
                 )
                 data = rows.copy().view(dtype).reshape(count, n)
 
+        if "sparse" in acc:
+            # Sparse accessors patch the (possibly zero) base data with
+            # (index, value) pairs; cgltf resolves these inside
+            # accessor_read_float (input.odin:171-224 reads through it).
+            sp = acc["sparse"]
+            scount = sp["count"]
+            idx_def = sp["indices"]
+            ibv = self.doc["bufferViews"][idx_def["bufferView"]]
+            idx_dtype = _COMPONENT_DTYPES[idx_def["componentType"]]
+            indices = np.frombuffer(
+                self.buffers[ibv["buffer"]],
+                idx_dtype,
+                count=scount,
+                offset=ibv.get("byteOffset", 0) + idx_def.get("byteOffset", 0),
+            ).astype(np.int64)
+            val_def = sp["values"]
+            vbv = self.doc["bufferViews"][val_def["bufferView"]]
+            values = np.frombuffer(
+                self.buffers[vbv["buffer"]],
+                dtype,
+                count=scount * n,
+                offset=vbv.get("byteOffset", 0) + val_def.get("byteOffset", 0),
+            ).reshape(scount, n)
+            data = data.copy()
+            data[indices] = values
+
         if acc["componentType"] == 5126:
             return data.astype(np.float32)
         if acc.get("normalized", False):

@@ -149,7 +149,7 @@ def sample_layer_values(radiance, aux, debug: bool):
 
 
 def make_render_step(cfg: RenderConfig, fov_x: float,
-                     lane_schedule=None) -> Callable:
+                     lane_schedule=None, refill_plan=None) -> Callable:
     """Build the jitted step: (scene, stats, base_key, sample_start) ->
     (stats, rays_info). Computes cfg.samples_per_step full-image samples
     sequentially (preserving first/last ordering) and folds them into
@@ -158,6 +158,8 @@ def make_render_step(cfg: RenderConfig, fov_x: float,
     see TraceOptions.lane_schedule)."""
     if cfg.wavefront_pool:
         return make_pool_render_step(cfg, fov_x)
+    if refill_plan is not None:
+        return make_refill_render_step(cfg, fov_x, refill_plan)
     schedule = cfg.compact_schedule or lane_schedule
     opts = TraceOptions(
         depth=cfg.ray_depth,
@@ -228,6 +230,81 @@ def auto_lane_schedule(scene, cfg: RenderConfig, fov_x: float,
         s = int(c * margin) + 2 * RB
         sched.append(min(n0p, -(-s // RB) * RB))
     return tuple(sched)
+
+
+def auto_refill_plan(scene, cfg: RenderConfig, fov_x: float):
+    """Plan the cross-sample refill schedule (ops/refill.py) from the same
+    1-spp alive-count probe auto_lane_schedule uses."""
+    import numpy as np
+
+    from raytracer_odin_tpu.ops import refill
+    from raytracer_odin_tpu.ops.pallas_intersect import RB
+
+    opts = TraceOptions(
+        depth=cfg.ray_depth,
+        intersector=cfg.intersector,
+        brute_chunk=cfg.brute_chunk,
+        brute_max_tris=cfg.brute_max_tris,
+        light_chunk=cfg.light_chunk,
+        want_aux=False,
+    )
+
+    @jax.jit
+    def counts_fn(base_key):
+        _, aux = sample_pass(
+            scene, base_key, jnp.int32(0), fov_x, cfg.width, cfg.height, opts
+        )
+        return aux["alive_counts"]
+
+    counts = np.asarray(counts_fn(jax.random.PRNGKey(cfg.seed)))
+    return refill.plan_refill(
+        counts, cfg.width * cfg.height, cfg.samples_per_step,
+        cfg.ray_depth, RB, cfg.compact_margin,
+    )
+
+
+def make_refill_render_step(cfg: RenderConfig, fov_x: float,
+                            plan) -> Callable:
+    """Jitted step for the cross-sample refill scheduler (ops/refill.py):
+    one ~constant-width wavefront processes all samples_per_step samples,
+    refilling freed lanes with the next sample's camera rays. Beauty layer
+    only (refill, like compaction, needs debug_features=False); the stats
+    fold reproduces accum.update_layers semantics for the S sequential
+    samples (first = sample 0 when count was 0, last = sample S-1)."""
+    if cfg.debug_features:
+        raise ValueError("refill scheduler requires debug_features=False")
+    from raytracer_odin_tpu.ops import refill
+
+    opts = TraceOptions(
+        depth=cfg.ray_depth,
+        intersector=cfg.intersector,
+        brute_chunk=cfg.brute_chunk,
+        brute_max_tris=cfg.brute_max_tris,
+        light_chunk=cfg.light_chunk,
+        want_aux=False,
+    )
+    H, W = cfg.height, cfg.width
+    S = cfg.samples_per_step
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def step(scene, stats, base_key, sample_start):
+        rad, rays, over = refill.trace_refill(
+            scene, base_key, sample_start, opts, plan, W, H, fov_x, S
+        )
+        r = rad.reshape(H, W, S, 3)
+        is_first = (stats.count[0] == 0)[..., None]
+        new_stats = accum.Stats(
+            first=stats.first.at[0].set(
+                jnp.where(is_first, r[:, :, 0], stats.first[0])
+            ),
+            last=stats.last.at[0].set(r[:, :, S - 1]),
+            total=stats.total.at[0].add(r.sum(axis=2)),
+            total_sq=stats.total_sq.at[0].add((r * r).sum(axis=2)),
+            count=stats.count.at[0].add(float(S)),
+        )
+        return new_stats, jnp.stack([rays, over])
+
+    return step
 
 
 def make_pool_render_step(cfg: RenderConfig, fov_x: float) -> Callable:
@@ -323,8 +400,21 @@ def render_scene(
     mean_standard_error)."""
     step = step_fn
     if step is None:
+        from raytracer_odin_tpu.ops import refill as refill_mod
+
         lane_schedule = None
+        refill_plan = None
+        probe_opts = TraceOptions(
+            depth=cfg.ray_depth, intersector=cfg.intersector,
+        )
         if (
+            cfg.compact == "refill"
+            and not cfg.wavefront_pool
+            and not cfg.debug_features
+            and refill_mod.refill_applies(probe_opts)
+        ):
+            refill_plan = auto_refill_plan(scene, cfg, fov_x)
+        elif (
             cfg.compact == "auto"
             and cfg.compact_schedule is None
             and not cfg.wavefront_pool
@@ -332,12 +422,12 @@ def render_scene(
             and cfg.ray_depth > 1
             # Skip the 1-spp calibration pass when trace() would fall back
             # to the uncompacted path anyway (e.g. CPU auto intersector).
-            and _compaction_applies(TraceOptions(
-                depth=cfg.ray_depth, intersector=cfg.intersector,
-            ))
+            and _compaction_applies(probe_opts)
         ):
             lane_schedule = auto_lane_schedule(scene, cfg, fov_x)
-        step = make_render_step(cfg, fov_x, lane_schedule=lane_schedule)
+        step = make_render_step(
+            cfg, fov_x, lane_schedule=lane_schedule, refill_plan=refill_plan
+        )
     if make_stats is None:
         make_stats = lambda: accum.init_stats(  # noqa: E731
             cfg.num_layers, cfg.height, cfg.width

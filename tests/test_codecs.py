@@ -158,15 +158,42 @@ def test_jpeg_grayscale_and_restart():
 
 
 def test_jpeg_progressive_raises_and_falls_back():
+    import unittest.mock
+
+    import PIL.Image
     from raytracer_odin_tpu.io import jpeg
 
     img = _test_photo()
     data = _pil_jpeg(img, quality=90, progressive=True)
     with pytest.raises(jpeg.JpegError):
         jpeg.decode(data)
-    # decode_image falls back to PIL transparently
-    li = images.decode_image(data)
+    # decode_image falls back to PIL transparently — spy proves the fallback
+    # actually triggered (not a silent from-scratch decode of garbage).
+    with unittest.mock.patch.object(
+        PIL.Image, "open", wraps=PIL.Image.open
+    ) as spy:
+        li = images.decode_image(data)
+    assert spy.call_count == 1
     assert li.data.shape == img.shape
+    pil = np.asarray(PIL.Image.open(io.BytesIO(data))).astype(np.float32) / 255.0
+    assert np.array_equal(li.data, pil)
+
+
+def test_png_interlaced_fails_loudly():
+    """Adam7-interlaced PNG is out of scope (stb handles it natively,
+    textures.odin:37-52); we must refuse it with a clear error rather than
+    decode the interlaced scanlines as sequential rows."""
+    img = np.random.default_rng(7).integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    data = bytearray(png.encode(img))
+    # IHDR payload starts at byte 16; interlace flag is its 13th byte.
+    assert data[12:16] == b"IHDR"
+    data[16 + 12] = 1
+    import struct, zlib
+
+    crc = zlib.crc32(bytes(data[12:29])) & 0xFFFFFFFF
+    data[29:33] = struct.pack(">I", crc)
+    with pytest.raises(ValueError, match="interlaced"):
+        png.decode(bytes(data))
 
 
 def test_textured_scene_builds_without_pil(tmp_path):

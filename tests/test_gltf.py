@@ -142,6 +142,103 @@ def test_interleaved_accessors(tmp_path):
     assert np.allclose(s.n1[0], [0, 1, 0])
 
 
+def test_sparse_accessor_patches_base(tmp_path):
+    """Sparse accessors substitute (index, value) pairs over the base data
+    (cgltf resolves these inside accessor_read_float, input.odin:171-224).
+    A triangle whose POSITION accessor sparsely patches vertex 1 must come
+    out with the patched coordinate, not the base buffer's."""
+    import base64
+    import struct
+
+    base = struct.pack("<9f", 0, 0, 0, 9, 9, 9, 0, 0, 1)  # v1 is wrong in base
+    patch_idx = struct.pack("<H", 1)
+    patch_val = struct.pack("<3f", 1, 0, 0)
+    buf = base + patch_idx + b"\x00\x00" + patch_val  # pad to 4-align values
+    doc = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0}}]}],
+        "accessors": [
+            {
+                "bufferView": 0,
+                "componentType": 5126,
+                "count": 3,
+                "type": "VEC3",
+                "sparse": {
+                    "count": 1,
+                    "indices": {"bufferView": 1, "componentType": 5123},
+                    "values": {"bufferView": 2},
+                },
+            }
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 2},
+            {"buffer": 0, "byteOffset": 40, "byteLength": 12},
+        ],
+        "buffers": [
+            {
+                "byteLength": len(buf),
+                "uri": "data:application/octet-stream;base64,"
+                + base64.b64encode(buf).decode(),
+            }
+        ],
+    }
+    path = tmp_path / "sparse.gltf"
+    path.write_text(json.dumps(doc))
+    s = gltf.read_gltf(path)
+    assert s.num_triangles == 1
+    # p + u = second corner = the sparse-patched vertex (1, 0, 0)
+    assert np.allclose(s.p[0] + s.u[0], [1, 0, 0], atol=1e-6)
+    assert not np.allclose(s.p[0] + s.u[0], [9, 9, 9])
+
+
+def test_sparse_accessor_without_bufferview(tmp_path):
+    """Spec: a sparse accessor may omit bufferView entirely (base = zeros)."""
+    import base64
+    import struct
+
+    patch_idx = struct.pack("<3H", 0, 1, 2)
+    patch_val = struct.pack("<9f", 0, 0, 0, 1, 0, 0, 0, 0, 1)
+    buf = patch_idx + b"\x00\x00" + patch_val
+    doc = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0}}]}],
+        "accessors": [
+            {
+                "componentType": 5126,
+                "count": 3,
+                "type": "VEC3",
+                "sparse": {
+                    "count": 3,
+                    "indices": {"bufferView": 0, "componentType": 5123},
+                    "values": {"bufferView": 1},
+                },
+            }
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 6},
+            {"buffer": 0, "byteOffset": 8, "byteLength": 36},
+        ],
+        "buffers": [
+            {
+                "byteLength": len(buf),
+                "uri": "data:application/octet-stream;base64,"
+                + base64.b64encode(buf).decode(),
+            }
+        ],
+    }
+    path = tmp_path / "sparse0.gltf"
+    path.write_text(json.dumps(doc))
+    s = gltf.read_gltf(path)
+    assert np.allclose(s.p[0], [0, 0, 0], atol=1e-6)
+    assert np.allclose(s.p[0] + s.u[0], [1, 0, 0], atol=1e-6)
+    assert np.allclose(s.p[0] + s.v[0], [0, 0, 1], atol=1e-6)
+
+
 def test_matrix_node_transform(tmp_path):
     """Node with a raw column-major matrix property."""
     b = assets.GltfBuilder()

@@ -295,6 +295,70 @@ def test_render_scene_compact_auto(cornell_scene):
     assert res_c.rays_cast == res_f.rays_cast
 
 
+def test_refill_matches_full(cornell_scene):
+    """Cross-sample lane refill (ops/refill.py, compact='refill') = the
+    uncompacted render: same per-pixel totals (up to XLA fusion rounding),
+    same first/last samples, same measured ray count, zero overflow."""
+    host, scene = cornell_scene
+    W = H = 32
+    cfg = RenderConfig(
+        width=W, height=H, ray_depth=4, samples=4, samples_per_step=4,
+        debug_features=False, intersector="pallas", compact="refill",
+    )
+    fov_x = host.cam.fov_x
+    res_r = runtime.render_scene(scene, cfg, fov_x)
+    res_f = runtime.render_scene(scene, cfg.replace(compact="off"), fov_x)
+    assert res_r.rays_cast == res_f.rays_cast
+    for field in ("total", "first", "last", "total_sq"):
+        a = np.asarray(getattr(res_r.stats, field)[0])
+        b = np.asarray(getattr(res_f.stats, field)[0])
+        assert np.allclose(a, b, rtol=1e-4, atol=1e-4), field
+    assert np.array_equal(
+        np.asarray(res_r.stats.count), np.asarray(res_f.stats.count)
+    )
+
+
+def test_refill_env_and_multi_step(cornell_scene):
+    """Refill across multiple device steps (sample_start offsets) agrees
+    with the batched path, on a scene with env-map misses so retired env
+    radiance rides the merge."""
+    env = HostTexture(np.full((4, 8, 3), 0.4, np.float32), True)
+    scene = single_quad_scene(color=(0.5, 0.5, 0.5), env=env, metallic=0.0)
+    W = H = 24
+    cfg = RenderConfig(
+        width=W, height=H, ray_depth=3, samples=4, samples_per_step=2,
+        debug_features=False, intersector="pallas", compact="refill",
+    )
+    res_r = runtime.render_scene(scene, cfg, 1.2)
+    res_f = runtime.render_scene(scene, cfg.replace(compact="off"), 1.2)
+    assert res_r.rays_cast == res_f.rays_cast
+    assert np.allclose(
+        np.asarray(res_r.stats.total[0]), np.asarray(res_f.stats.total[0]),
+        rtol=1e-4, atol=1e-4,
+    )
+    assert np.allclose(
+        np.asarray(res_r.stats.last[0]), np.asarray(res_f.stats.last[0]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_refill_plan_conservation():
+    """The planned refill chunks cover the work queue exactly and the plan
+    drains: total fresh >= S*n0, every width a block multiple, and the last
+    `depth` iterations refill nothing (deterministic death guarantee)."""
+    from raytracer_odin_tpu.ops import refill
+
+    depth = 6
+    counts = [10000, 7000, 4200, 2500, 1400, 700]
+    plan = refill.plan_refill(counts, 10000, 8, depth, 512, 1.04)
+    assert sum(plan.fresh) >= 8 * 10000
+    assert all(r % 512 == 0 and k % 512 == 0
+               for r, k in zip(plan.fresh, plan.keep))
+    # drain: the last depth-1 iterations refill nothing (a lane refilled at
+    # iteration j is deterministically dead after iteration j + depth - 1)
+    assert all(r == 0 for r in plan.fresh[-(depth - 1):])
+
+
 def test_render_scene_overflow_fallback(cornell_scene):
     """An undersized explicit schedule triggers the automatic uncompacted
     re-render: the result must equal the compact='off' render exactly."""
