@@ -70,12 +70,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Persistent wavefront pool (stream compaction); "
                         "implies no debug layers")
     p.add_argument("--pool-fraction", type=float, default=0.5)
-    p.add_argument("--compact", choices=["auto", "off"], default="auto",
-                   help="Dead-lane compaction: slice the sorted wavefront "
-                        "to calibrated per-bounce lane budgets (Pallas "
-                        "path, no debug layers; falls back silently "
-                        "elsewhere; overflow triggers an uncompacted "
-                        "re-render)")
+    p.add_argument("--compact", choices=["auto", "off", "refill"],
+                   default="auto",
+                   help="Dead-lane scheduling: 'auto' slices the sorted "
+                        "wavefront to calibrated per-bounce lane budgets; "
+                        "'refill' runs the cross-sample sorted-ring "
+                        "scheduler (one ~constant-width wavefront over the "
+                        "whole step's samples, freed lanes topped up with "
+                        "the next sample's camera rays). Pallas path, no "
+                        "debug layers; falls back silently elsewhere; "
+                        "overflow triggers an uncompacted re-render")
     p.add_argument("--layer", type=_layer_arg, default=0,
                    help="Output layer: index or probe name (beauty, "
                         "normal, depth, ... — any name registered via "

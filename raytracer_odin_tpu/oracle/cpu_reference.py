@@ -429,29 +429,33 @@ def trace(sc: OracleScene, o, d, depth, rng):
 
 
 def render(dscene, width, height, fov_x, depth, spp, seed=0,
-           return_var=False):
-    """Render the mean image [H, W, 3] with the oracle. With return_var,
-    returns (mean, per-pixel sample variance) — used by the RMSE harness to
-    set the Monte-Carlo noise floor and compare firefly variance."""
-    sc = OracleScene(dscene)
+           return_var=False, row_offset=0, n_rows=None):
+    """Render the mean image [n_rows, W, 3] with the oracle (rows
+    [row_offset, row_offset + n_rows) of a height-`height` image). With
+    return_var, returns (mean, per-pixel sample variance) — used by the RMSE
+    harness to set the Monte-Carlo noise floor and compare firefly
+    variance."""
+    sc = dscene if isinstance(dscene, OracleScene) else OracleScene(dscene)
+    if n_rows is None:
+        n_rows = height
     rng = np.random.default_rng(seed)
-    acc = np.zeros((height, width, 3), np.float64)
-    acc2 = np.zeros((height, width, 3), np.float64)
+    acc = np.zeros((n_rows, width, 3), np.float64)
+    acc2 = np.zeros((n_rows, width, 3), np.float64)
     aspect = width / height
     tan_fx = np.tan(fov_x / 2)
     tan_fy = tan_fx / aspect
-    r = np.arange(height, dtype=np.float32)[:, None]
+    r = row_offset + np.arange(n_rows, dtype=np.float32)[:, None]
     px = np.arange(width, dtype=np.float32)[None, :]
     py = (height - 1.0) - r
     for _ in range(spp):
-        jx = rng.random((height, width), np.float32)
-        jy = rng.random((height, width), np.float32)
+        jx = rng.random((n_rows, width), np.float32)
+        jy = rng.random((n_rows, width), np.float32)
         x = (px + jx) / (width / 2) - 1
         y = (py + jy) / (height / 2) - 1
         v = np.stack([x * tan_fx, np.broadcast_to(y * tan_fy, x.shape), np.ones_like(x)], axis=-1)
         d = _normalize(v @ sc.cam_basis.T).reshape(-1, 3).astype(np.float32)
         o = np.broadcast_to(sc.cam_pos, d.shape).astype(np.float32)
-        s = trace(sc, o, d, depth, rng).reshape(height, width, 3)
+        s = trace(sc, o, d, depth, rng).reshape(n_rows, width, 3)
         acc += s
         if return_var:
             acc2 += s.astype(np.float64) ** 2
@@ -460,3 +464,65 @@ def render(dscene, width, height, fov_x, depth, spp, seed=0,
         return mean
     var = np.maximum(acc2 / spp - (acc / spp) ** 2, 0.0).astype(np.float32)
     return mean, var
+
+
+# --- multiprocessing row fan-out --------------------------------------------
+# The oracle is embarrassingly parallel over pixels; full-resolution rows
+# (the BASELINE "RMSE vs CPU reference at equal spp" ground truth) become
+# multi-core-feasible with a band decomposition. Each band draws from its
+# own PCG64 stream seeded (seed, band-index) — a valid independent sample
+# set (the oracle's comparisons are distribution-level, never bitwise).
+
+_MP_SCENE = None
+
+
+def _mp_init(sc):
+    global _MP_SCENE
+    _MP_SCENE = sc
+
+
+def _mp_band(args):
+    (row0, n_rows, width, height, fov_x, depth, spp, seed, band,
+     return_var) = args
+    rng_seed = np.random.SeedSequence([seed, band])
+    # render() takes an integer seed; spawn a child integer from the pair.
+    child_seed = int(rng_seed.generate_state(1)[0])
+    return render(
+        _MP_SCENE, width, height, fov_x, depth, spp, seed=child_seed,
+        return_var=return_var, row_offset=row0, n_rows=n_rows,
+    )
+
+
+def render_mp(dscene, width, height, fov_x, depth, spp, seed=0,
+              return_var=False, workers=None, band_rows=16):
+    """render() fanned out over row bands with a multiprocessing pool.
+
+    Falls back to the sequential render when only one core is available
+    (or workers=1). Bands use independent seed streams (seed, band), so the
+    result is a different — equally valid — sample set than render(seed).
+    """
+    import multiprocessing as mp
+    import os
+
+    workers = workers if workers is not None else (os.cpu_count() or 1)
+    if workers <= 1:
+        return render(dscene, width, height, fov_x, depth, spp, seed=seed,
+                      return_var=return_var)
+    sc = OracleScene(dscene)
+    bands = []
+    for b, row0 in enumerate(range(0, height, band_rows)):
+        n_rows = min(band_rows, height - row0)
+        bands.append((row0, n_rows, width, height, fov_x, depth, spp, seed,
+                      b, return_var))
+    # fork shares the scene copy-on-write; jax may already be initialized
+    # in the parent (it warns about forking a threaded process), but the
+    # workers touch only numpy. Override with RT_ORACLE_MP_CONTEXT=spawn
+    # if a platform deadlocks.
+    ctx = mp.get_context(os.environ.get("RT_ORACLE_MP_CONTEXT", "fork"))
+    with ctx.Pool(workers, initializer=_mp_init, initargs=(sc,)) as pool:
+        parts = pool.map(_mp_band, bands)
+    if return_var:
+        mean = np.concatenate([p[0] for p in parts], axis=0)
+        var = np.concatenate([p[1] for p in parts], axis=0)
+        return mean, var
+    return np.concatenate(parts, axis=0)

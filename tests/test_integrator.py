@@ -342,6 +342,30 @@ def test_refill_env_and_multi_step(cornell_scene):
     )
 
 
+def test_oracle_render_mp_bands(cornell_scene):
+    """The oracle's multiprocessing row fan-out (render_mp) produces the
+    sequential renderer bit-for-bit at workers=1 and a statistically
+    consistent image across band seams at workers>1 (bands draw independent
+    seed streams, so only distribution-level agreement is expected)."""
+    from raytracer_odin_tpu.oracle import cpu_reference as oracle
+
+    host, scene = cornell_scene
+    fov = host.cam.fov_x
+    seq1 = oracle.render(scene, 24, 24, fov, 2, 2, seed=5)
+    assert np.array_equal(
+        seq1, oracle.render_mp(scene, 24, 24, fov, 2, 2, seed=5, workers=1)
+    )
+    m, v = oracle.render_mp(
+        scene, 24, 24, fov, 2, 8, seed=3, workers=2, band_rows=8,
+        return_var=True,
+    )
+    ref = oracle.render(scene, 24, 24, fov, 2, 8, seed=11)
+    assert m.shape == (24, 24, 3) and np.isfinite(m).all() and (v >= 0).all()
+    bm = m.reshape(3, -1).mean(1)
+    br = ref.reshape(3, -1).mean(1)
+    assert np.abs(bm - br).max() < 0.15, (bm, br)
+
+
 def test_refill_plan_conservation():
     """The planned refill chunks cover the work queue exactly and the plan
     drains: total fresh >= S*n0, every width a block multiple, and the last

@@ -44,6 +44,10 @@ CONFIGS = [
     # firefly tails to inflate the z-scores (frac_z_gt4 read 0.0060 at 96
     # spp); 1024 spp calibrates the floor map properly.
     ("cfg1_cube", "cube", 256, 256, 2, 16, 16, (128, 96, 1024)),
+    # Full-resolution independent row (VERDICT r3 item 6): the oracle at
+    # cfg1's NATIVE 256x256 — no proxy. Oracle-vs-TPU only (the same-seed
+    # arrays keep the cfg1_cube name).
+    ("cfg1_cube_full", "cube", 256, 256, 2, 16, 16, (256, 256, 1024)),
     ("cfg2_cornell", "cornell", 512, 512, 6, 64, 16, (128, 96, 1024)),
     ("cfg3_textured", "textured", 800, 600, 8, 128, 8, (128, 96, 96)),
     ("cfg4_envmap", "envmap", 1024, 768, 8, 256, 8, (128, 96, 96)),
