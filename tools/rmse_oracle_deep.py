@@ -12,10 +12,14 @@ E[x] = sum(n_i m_i)/N and E[x^2] = sum(n_i (v_i + m_i^2))/N, so the
 combined per-sample variance is E[x^2] - E[x]^2 (the same population
 estimator oracle.render uses internally).
 
-RESUME SEMANTICS: existing oracle files are REPLACED, not folded into —
-chunk seeds are derived from the chunk index, so folding a prior run in
-would double-count its samples. Run to the target in one process (it
-checkpoints after every chunk; a restart redoes only the finished spp).
+RESUME SEMANTICS: by default existing oracle files are REPLACED, not
+folded into — chunk seeds are derived from the chunk index, so folding a
+prior run in would double-count its samples. With --resume, the saved
+(mean, var, spp) triplet is converted back to running moments
+(sum n_i m_i = mean * spp; sum n_i (v_i + m_i^2) = (var + mean^2) * spp)
+and chunk indexing continues at k = spp // chunk — valid ONLY when the
+prior run used the SAME --chunk size (chunk seeds 777_000 + k must not
+repeat), which the k*chunk == spp check enforces.
 
 Run:  python tools/rmse_oracle_deep.py cfg5_demo --target 512 --chunk 32
 """
@@ -51,6 +55,9 @@ def main():
         i = args.index("--chunk")
         chunk = int(args[i + 1])
         del args[i:i + 2]
+    resume = "--resume" in args
+    if resume:
+        args.remove("--resume")
     (name,) = args
     row = [c for c in CONFIGS if c[0] == name][0]
     _, scene_name, _w, _h, depth, _cfg, _ss, (pw, ph, _pspp) = row
@@ -63,6 +70,19 @@ def main():
     sum_m2 = np.zeros((ph, pw, 3), np.float64)  # sum of n_i * (v_i + m_i^2)
     done = 0
     k = 0
+    if resume and (out / f"{name}_oracle_spp.npy").exists():
+        done = int(np.load(out / f"{name}_oracle_spp.npy"))
+        k = done // chunk
+        assert k * chunk == done, (
+            f"--resume needs the prior run's --chunk: {done} spp is not a "
+            f"multiple of {chunk}"
+        )
+        m0 = np.load(out / f"{name}_oracle_mean.npy").astype(np.float64)
+        v0 = np.load(out / f"{name}_oracle_var.npy").astype(np.float64)
+        assert m0.shape == (ph, pw, 3), "proxy resolution changed; no resume"
+        sum_m = done * m0
+        sum_m2 = done * (v0 + m0 * m0)
+        print(f"{name}: resuming at {done} spp (k={k})", flush=True)
     while done < target:
         n_i = min(chunk, target - done)
         t0 = time.perf_counter()
