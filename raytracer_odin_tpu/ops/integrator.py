@@ -27,6 +27,7 @@ block, so results are independent of batching/sharding.
 
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple
 
 import jax
@@ -35,6 +36,13 @@ import jax.numpy as jnp
 from raytracer_odin_tpu.ops import probes, shading, texture, traverse
 from raytracer_odin_tpu.utils import prng
 from raytracer_odin_tpu.utils.math3d import dot, norm_l1, normalize
+
+
+# Re-sort cadence experiment (VERDICT r3 item 1b): sort/compact only every
+# N-th bounce of the compacted trace; intermediate bounces cast in the stale
+# lane order (reusing the previous permutation) with no slicing. N == 1 is
+# the shipped per-bounce sort.
+SORT_EVERY = int(_os.environ.get("RT_TPU_SORT_EVERY", "1"))
 
 
 class TraceOptions(NamedTuple):
@@ -566,6 +574,8 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
     retired_rad = []
     overflow = jnp.zeros((), jnp.int32)
     width = n0p
+    if affine:
+        stream = jnp.asarray(stream_base, jnp.int32) + iota
 
     far_o = jnp.asarray([BIG, 0.0, 0.0], jnp.float32)
     unit_x = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
@@ -582,12 +592,39 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
     # for wide per-lane state (see also the r2 5-separate-arrays negative
     # result in ARCHITECTURE.md).
     for b in range(1, depth):
-        s_width = schedule[b - 1] if b - 1 < len(schedule) else schedule[-1]
-        s_width = max(rb, min(width, (int(s_width) // rb) * rb))
-
         # Dead lanes become degenerate far rays: empty masks, dead-last sort.
         o_dead = jnp.where(alive[:, None], o2, far_o)
         d_dead = jnp.where(alive[:, None], d2, unit_x)
+
+        if (b - 1) % SORT_EVERY != 0:
+            # Skip-sort bounce (RT_TPU_SORT_EVERY > 1, a measured
+            # experiment): cast/shade in the PREVIOUS bounce's lane order.
+            # No compaction (no slice, no retirement) — the permutation is
+            # reused, the sort bill halves, and the exact-mask lists pay
+            # whatever coherence decay one unsorted scatter causes.
+            ox_, oy_, oz_ = o_dead[:, 0], o_dead[:, 1], o_dead[:, 2]
+            dx_, dy_, dz_ = d_dead[:, 0], d_dead[:, 1], d_dead[:, 2]
+            zc = jnp.zeros_like(ox_)
+            rays_pre = jnp.stack(
+                [ox_ + dx_ * RAY_EPS, oy_ + dy_ * RAY_EPS,
+                 oz_ + dz_ * RAY_EPS, dx_, dy_, dz_, zc, zc], axis=0,
+            )
+            words_p = pi.cluster_masks_rows(aabb8, rays_pre, n_super)
+            n_alive = jnp.sum(alive.astype(jnp.int32))
+            alive_counts.append(n_alive)
+            rays = rays + n_alive
+            t, tri_idx, _bu, _bv = traverse.cast_presorted_rows(
+                scene, rays_pre, words=words_p
+            )
+            uniforms = prng.uniforms(base_key, sample, b, stream, 6)
+            o2, d2, thr, rad, alive, _ev, _h, _m = _shade_vertex(
+                scene, o2, d2, t, tri_idx, alive, uniforms, opts,
+                has_lights, thr, rad,
+            )
+            continue
+
+        s_width = schedule[b - 1] if b - 1 < len(schedule) else schedule[-1]
+        s_width = max(rb, min(width, (int(s_width) // rb) * rb))
         octant = traverse._ray_octant(d_dead)
         ocx, ocy, ocz = o_dead[:, 0], o_dead[:, 1], o_dead[:, 2]
         dcx, dcy, dcz = d_dead[:, 0], d_dead[:, 1], d_dead[:, 2]

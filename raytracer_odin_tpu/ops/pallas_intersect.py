@@ -351,9 +351,10 @@ def _mask_kernel(rays_ref, aabb_ref, out_ref, *, n_words: int,
             elif used < 32:
                 word = jnp.bitwise_and(word, jnp.int32((1 << used) - 1))
         out_ref[w:w + 1, :] = word
-    if n_words < 8:
-        out_ref[n_words:8, :] = jnp.zeros(
-            (8 - n_words, rays_ref.shape[1]), jnp.int32
+    out_rows = out_ref.shape[0]
+    if n_words < out_rows:
+        out_ref[n_words:out_rows, :] = jnp.zeros(
+            (out_rows - n_words, rays_ref.shape[1]), jnp.int32
         )
 
 
@@ -367,6 +368,9 @@ def cluster_masks_rows(aabb8, rays, n_clusters: int = None,
     _mask_kernel). Returns [W, Npad] int32 words."""
     n_words = aabb8.shape[0] // 32
     npad = rays.shape[1]
+    # Output rows: sublane-padded word count (8-row minimum). Scenes with
+    # more than 256 exact bits (RT_TPU_MAX_EXACT > 256) need > 8 rows.
+    out_rows = max(8, -(-n_words // 8) * 8)
     out = pl.pallas_call(
         functools.partial(_mask_kernel, n_words=n_words, n_bits=n_clusters,
                           tmax_row=tmax_row),
@@ -378,8 +382,10 @@ def cluster_masks_rows(aabb8, rays, n_clusters: int = None,
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec((8, RB), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, npad), jnp.int32),
+        out_specs=pl.BlockSpec(
+            (out_rows, RB), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((out_rows, npad), jnp.int32),
         interpret=_interpret(),
     )(rays, aabb8)
     return out[:n_words]

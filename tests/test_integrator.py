@@ -261,6 +261,31 @@ def test_compacted_env_misses_retire():
                        rtol=1e-4, atol=1e-4)
 
 
+def test_compacted_sort_every_two(cornell_scene, monkeypatch):
+    """RT_TPU_SORT_EVERY=2 (skip-sort bounces reuse the stale permutation,
+    no slice/retire) is physics-identical to the full-width trace: same
+    radiance, same measured ray count. A measured 1.74x perf regression on
+    TPU (ARCHITECTURE.md negative results) — kept correct for
+    re-measurement."""
+    from raytracer_odin_tpu.ops import integrator
+
+    monkeypatch.setattr(integrator, "SORT_EVERY", 2)
+    host, scene = cornell_scene
+    W = H = 48
+    depth = 5
+    fov_x = host.cam.fov_x
+    (r_full, a_full), (r_comp, a_comp) = _pass_pair(
+        scene, fov_x, W, H, depth, (2304, 2304, 2048, 2048)
+    )
+    assert int(a_comp["overflow"]) == 0
+    assert int(a_full["rays_cast"]) == int(a_comp["rays_cast"])
+    assert np.array_equal(
+        np.asarray(a_full["alive_counts"]), np.asarray(a_comp["alive_counts"])
+    )
+    assert np.allclose(np.asarray(r_full), np.asarray(r_comp),
+                       rtol=1e-4, atol=1e-4)
+
+
 def test_compaction_overflow_detected(cornell_scene):
     """A schedule smaller than the real alive counts must be COUNTED in
     aux['overflow'] (the render is invalid and callers re-run uncompacted)."""

@@ -199,6 +199,49 @@ def test_cluster_mask_kernel_matches_xla():
         assert (trimmed[:, col] & hi_mask == 0).all()
 
 
+def test_cluster_mask_kernel_many_words():
+    """Mask kernel beyond the 8-row/256-bit sublane minimum (large scenes
+    or RT_TPU_MAX_EXACT > 256 run 13+ words): bit-for-bit parity with the
+    XLA reference over 410 clusters = 13 words."""
+    rng = np.random.default_rng(23)
+    c = 410  # 13 words, beyond the 8-row minimum out block
+    lo = rng.uniform(-8, 8, (c, 3)).astype(np.float32)
+    hi = lo + rng.uniform(0.2, 3.0, (c, 3)).astype(np.float32)
+    c_pad = -(-c // 32) * 32
+    aabb8 = np.zeros((c_pad, 8), np.float32)
+    aabb8[:, 0:3] = pi.BIG
+    aabb8[:, 3:6] = -pi.BIG
+    aabb8[:c, 0:3] = lo
+    aabb8[:c, 3:6] = hi
+
+    n = 80
+    o = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    want = np.asarray(
+        culling.ray_cluster_masks(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(lo), jnp.asarray(hi)
+        )
+    )
+    assert want.shape[1] == 13
+    got = np.asarray(
+        pi.cluster_masks(jnp.asarray(aabb8), jnp.asarray(o), jnp.asarray(d), c)
+    )
+    assert got.shape[1] >= 13
+    # Compare real cluster bits only: the XLA reference leaves pad bits
+    # (>= c) set — inverted padding boxes test as unbounded — while the
+    # kernel with n_clusters zeroes them (the _lex_sort_keys contract).
+    used_last = c - 12 * 32
+    gotu = got[:, :13].view(np.uint32) if got.dtype == np.int32 else got
+    wantu = want.view(np.uint32)
+    for w in range(13):
+        real = np.uint32((1 << (used_last if w == 12 else 32)) - 1)
+        assert np.array_equal(gotu[:, w] & real, wantu[:, w] & real), w
+    # trimmed kernel: no bits above the real clusters in the last word
+    assert (gotu[:, 12] & ~np.uint32((1 << used_last) - 1) == 0).all()
+
+
 def test_two_phase_matches_single_phase(monkeypatch):
     """t-bounded two-phase culling (TWO_PHASE_K) returns the same hits as
     the single-sweep exact path: identical hit/miss and t; index may differ
