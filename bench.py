@@ -202,12 +202,25 @@ def _measure_mesh(n_devices: int, n_spp: int) -> None:
 
 
 def main(scene_name: str = "demo") -> int:
+    import os
+
     attempts = 3
+    # Big scenes / fresh kernel shapes can spend >30 min in XLA compile on
+    # a contended host; a too-tight timeout kills the child mid-TPU-program,
+    # which wedges the tunneled chip for the NEXT run too.
+    child_timeout = int(os.environ.get("RT_BENCH_CHILD_TIMEOUT", "2400"))
+    proc = None
     for k in range(attempts):
-        proc = subprocess.run(
-            [sys.executable, __file__, "--child", "--scene", scene_name],
-            capture_output=True, text=True, timeout=2400,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--child", "--scene", scene_name],
+                capture_output=True, text=True, timeout=child_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            # treat as a failed attempt instead of crashing the sweep
+            if k < attempts - 1:
+                time.sleep(180)  # killed mid-program: let the device recover
+            continue
         line = ""
         for ln in (proc.stdout or "").splitlines():
             if ln.startswith("{"):
@@ -217,7 +230,10 @@ def main(scene_name: str = "demo") -> int:
             return 0
         if k < attempts - 1:
             time.sleep(120)  # let a wedged device recover
-    sys.stderr.write(proc.stderr[-2000:] if proc.stderr else "bench failed\n")
+    sys.stderr.write(
+        (proc.stderr[-2000:] if proc is not None and proc.stderr else "")
+        or "bench failed (child timeout)\n"
+    )
     return 1
 
 
