@@ -35,9 +35,16 @@ from raytracer_odin_tpu.ops.geometry import BIG, RAY_EPS, intersect_aabb, inters
 # (reference analogue: one scale-free BVH walk, raytracer.odin:211-342).
 # Env-overridable for experiments: fewer bits = fewer sort-key columns and
 # a cheaper mask kernel, at looser (interval-refined) sweep lists.
+# Default 256 (8 words), measured on the 811-cluster city at 1080p:
+# 9.17 Mrays/s at 128 bits (g=7) -> 11.51 at 256 (g=4) — the two-level
+# expansion looseness dominates that scene's sweep (x16.6 overwork at
+# g=7 vs x5.8 at exact bits, tools/city_list_stats.py). Scenes with
+# C <= 128 clusters (demo, citynight, all BASELINE configs) are
+# unaffected (g == 1 either way); C in (128, 256] moves from g=2 to
+# exact bits at up to 4 extra sort-key words.
 import os as _os
 
-MAX_EXACT_CLUSTERS = int(_os.environ.get("RT_TPU_MAX_EXACT", 128))
+MAX_EXACT_CLUSTERS = int(_os.environ.get("RT_TPU_MAX_EXACT", 256))
 
 # Two-phase t-bounded culling for presorted exact-mask casts (0 = off):
 # phase A sweeps each block's K nearest clusters, then every cluster whose
