@@ -67,19 +67,25 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "bvh", "brute", "pallas", "pallas_brute"],
                    default="auto")
     p.add_argument("--pool", action="store_true",
-                   help="Persistent wavefront pool (stream compaction); "
-                        "implies no debug layers")
+                   help="EXPERIMENTAL, measured >12x SLOWER than the default "
+                        "batched scheduler on TPU (scatter-based queue "
+                        "flushes serialize; see ARCHITECTURE.md 'Pool vs "
+                        "batch'). Kept as the CPU reference of the "
+                        "stream-compaction queue semantics; implies no "
+                        "debug layers")
     p.add_argument("--pool-fraction", type=float, default=0.5)
     p.add_argument("--compact", choices=["auto", "off", "refill"],
                    default="auto",
                    help="Dead-lane scheduling: 'auto' slices the sorted "
                         "wavefront to calibrated per-bounce lane budgets; "
                         "'refill' runs the cross-sample sorted-ring "
-                        "scheduler (one ~constant-width wavefront over the "
-                        "whole step's samples, freed lanes topped up with "
-                        "the next sample's camera rays). Pallas path, no "
-                        "debug layers; falls back silently elsewhere; "
-                        "overflow triggers an uncompacted re-render")
+                        "scheduler — EXPERIMENTAL, measured 1.45x SLOWER "
+                        "than 'auto' (sorts every living lane every wave: "
+                        "4.45 vs 3.3 sorts/path, ARCHITECTURE.md refill "
+                        "entry); kept as the measured answer to 'why not a "
+                        "persistent wavefront'. Pallas path, no debug "
+                        "layers; falls back silently elsewhere; overflow "
+                        "triggers an uncompacted re-render")
     p.add_argument("--layer", type=_layer_arg, default=0,
                    help="Output layer: index or probe name (beauty, "
                         "normal, depth, ... — any name registered via "

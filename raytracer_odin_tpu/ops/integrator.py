@@ -41,7 +41,10 @@ from raytracer_odin_tpu.utils.math3d import dot, norm_l1, normalize
 # Re-sort cadence experiment (VERDICT r3 item 1b): sort/compact only every
 # N-th bounce of the compacted trace; intermediate bounces cast in the stale
 # lane order (reusing the previous permutation) with no slicing. N == 1 is
-# the shipped per-bounce sort.
+# the shipped per-bounce sort. EXPERIMENTAL, measured 1.74x SLOWER at N=2
+# (16.31 vs 28.39 Mrays/s on the demo bench: stale-order unions blow past
+# the sweep budget and the skipped bounce forfeits its compaction slice —
+# ARCHITECTURE.md journal); kept for re-measurement, not for use.
 SORT_EVERY = int(_os.environ.get("RT_TPU_SORT_EVERY", "1"))
 
 

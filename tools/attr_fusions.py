@@ -119,23 +119,40 @@ def main() -> None:
     print(f"traced ops: {len(per_op)}; fusions in hlo: {len(calls)}")
     total = sum(per_op.values())
     print(f"total device us (2 steps): {total}")
-    shown = 0
-    for name, dur in per_op.most_common(40):
-        ms = dur / 2e3
-        if ms < 1.0:
-            break
-        line = f"{ms:9.2f} ms/step  {name}"
+
+    def attr(name):
         body = bodies.get(calls.get(name, name)) or bodies.get(name)
-        print(line)
-        if body:
-            src = Counter(
-                re.sub(r"jit\(\w+\)/", "", op_name).split("[")[0]
-                for kind, op_name in body
-                if kind not in ("parameter", "constant")
-            )
-            for s, c in src.most_common(6):
-                print(f"              {c:3d}x {s[-110:]}")
+        if not body:
+            return
+        src = Counter(
+            re.sub(r"jit\(\w+\)/", "", op_name).split("[")[0]
+            for kind, op_name in body
+            if kind not in ("parameter", "constant")
+        )
+        for s, c in src.most_common(6):
+            print(f"              {c:3d}x {s[-110:]}")
+
+    shown = 0
+    for name, dur in per_op.most_common(60):
+        ms = dur / 2e3
+        if ms < 0.4:
+            break
+        print(f"{ms:9.2f} ms/step  {name}")
+        attr(name)
         shown += 1
+    # Aggregate by base name (fusion kind), attributing the biggest
+    # instance of each — catches costs spread over many small instrs.
+    by_base = Counter()
+    biggest = {}
+    for name, dur in per_op.items():
+        base = name.split(".")[0]
+        by_base[base] += dur
+        if dur > per_op.get(biggest.get(base, ""), 0):
+            biggest[base] = name
+    print("\n=== aggregated by base name (ms/step, biggest instance attributed) ===")
+    for base, dur in by_base.most_common(20):
+        print(f"{dur/2e3:9.2f} ms/step  {base}  (top: {biggest[base]})")
+        attr(biggest[base])
     if not shown:
         print("(no per-op events matched; dump head of event names)")
         for name, dur in per_op.most_common(20):
