@@ -574,7 +574,13 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
     _g_exact, n_super, aabb8 = traverse.exact_cull_layout(scene)
 
     retired_iota = []
-    retired_rad = []
+    # Retired radiance rides as three SEPARATE [tail] channel columns.
+    # Stacking each tail to [tail, 3] and re-slicing columns at the merge
+    # (the r4 form) materialized a relayout pass per bounce AND made the
+    # final merge sort consume strided slices of [N, 3] concats — trace-
+    # measured 21.5 ms/step for a 4-column merge whose standalone cost is
+    # ~9 ms. Columns in, columns out: [N, 3] never exists on this path.
+    retired_r, retired_g, retired_b = [], [], []
     overflow = jnp.zeros((), jnp.int32)
     width = n0p
     if affine:
@@ -665,12 +671,9 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
         # The tail is dead (or overflow, which poisons the render): its
         # radiance is final — retire it for the scatter-free merge.
         retired_iota.append(vals[12][s_width:])
-        retired_rad.append(
-            jnp.stack(
-                [vals[9][s_width:], vals[10][s_width:], vals[11][s_width:]],
-                axis=-1,
-            )
-        )
+        retired_r.append(vals[9][s_width:])
+        retired_g.append(vals[10][s_width:])
+        retired_b.append(vals[11][s_width:])
 
         sox, soy, soz = (v[:s_width] for v in vals[0:3])
         sdx, sdy, sdz = (v[:s_width] for v in vals[3:6])
@@ -707,11 +710,13 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
 
     # ---- scatter-free merge: each lane id appears exactly once ----
     retired_iota.append(iota)
-    retired_rad.append(rad)
+    retired_r.append(rad[:, 0])
+    retired_g.append(rad[:, 1])
+    retired_b.append(rad[:, 2])
     all_iota = jnp.concatenate(retired_iota)
-    all_rad = jnp.concatenate(retired_rad, axis=0)
     _, r0, r1, r2 = jax.lax.sort(
-        (all_iota, all_rad[:, 0], all_rad[:, 1], all_rad[:, 2]), num_keys=1
+        (all_iota, jnp.concatenate(retired_r), jnp.concatenate(retired_g),
+         jnp.concatenate(retired_b)), num_keys=1
     )
     radiance = jnp.stack([r0, r1, r2], axis=-1)[:n0].reshape(
         batch_shape + (3,)

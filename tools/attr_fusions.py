@@ -120,7 +120,26 @@ def main() -> None:
     total = sum(per_op.values())
     print(f"total device us (2 steps): {total}")
 
+    # Sort instructions: operand tuple shape + source op_name (sorts are
+    # not fusions, so attr() has no body for them — shapes identify which
+    # in-step sort each trace row is: bounce sorts vs the final merge).
+    sort_info = {}
+    for line in hlo.splitlines():
+        m = re.match(r"\s*%?([\w.\-]+) = (\([^)]*\)|\S+) sort\(", line)
+        if m:
+            om = re.search(r'metadata={op_name="([^"]+)"', line)
+            shape = m.group(2)
+            n_ops = shape.count("f32") + shape.count("s32") + shape.count(
+                "u32") + shape.count("pred")
+            sort_info[m.group(1)] = (
+                f"{n_ops} operands :: {shape[:140]} :: "
+                f"{(om.group(1) if om else '')[-90:]}"
+            )
+
     def attr(name):
+        if name in sort_info:
+            print(f"              {sort_info[name]}")
+            return
         body = bodies.get(calls.get(name, name)) or bodies.get(name)
         if not body:
             return

@@ -47,12 +47,27 @@ def main():
         i = args.index("--chunk")
         chunk = int(args[i + 1])
         del args[i:i + 2]
+    # Independent series: a different seed base + file suffix renders a
+    # SECOND independent draw set (e.g. --seed-base 888000 --suffix _b
+    # for the equal-spp oracle draw pooled from 16x32-spp chunks). The
+    # default 555000 series must never be reused with another chunk size:
+    # chunk seeds are seed_base + k, so same-base sets share samples.
+    seed_base = 555_000
+    if "--seed-base" in args:
+        i = args.index("--seed-base")
+        seed_base = int(args[i + 1])
+        del args[i:i + 2]
+    suffix = ""
+    if "--suffix" in args:
+        i = args.index("--suffix")
+        suffix = args[i + 1]
+        del args[i:i + 2]
     (name,) = args
     row = [c for c in CONFIGS if c[0] == name][0]
     _, scene_name, _w, _h, depth, _cfg, _ss, (pw, ph, _pspp) = row
 
     out = Path(OUT_DIR)
-    path = out / f"{name}_oracle_draws.npz"
+    path = out / f"{name}_oracle_draws{suffix}.npz"
     host, scene = load_scene(scene_name)
     fov = host.cam.fov_x * (pw / ph)
 
@@ -70,7 +85,7 @@ def main():
         t0 = time.perf_counter()
         m, v = oracle.render(
             scene, pw, ph, fov, depth, chunk,
-            seed=555_000 + k, return_var=True,
+            seed=seed_base + k, return_var=True,
         )
         means.append(m.astype(np.float32))
         vars_.append(v.astype(np.float32))
