@@ -143,12 +143,21 @@ def _measure(scene_name: str = "demo") -> None:
     }))
 
 
-def _measure_mesh(n_devices: int, n_spp: int) -> None:
+def _measure_mesh(n_devices: int, n_spp: int, rows_per_dev: int = 0) -> None:
     """Sharded render over an n_devices virtual CPU mesh: per-device load
     balance + steps/s. Real multi-chip hardware is not reachable from this
     host (the driver's dryrun covers compile+execute); virtual devices
     share one core, so wall-clock here is NOT a scaling claim — the
-    recorded table is about sharding correctness and balance."""
+    recorded table is about sharding correctness and balance.
+
+    rows_per_dev > 0 switches to WEAK scaling (fixed per-device work,
+    image height = rows_per_dev * tile axis): on the single shared host
+    core an N-device step then costs ~N x the 1-device step PLUS whatever
+    the shard_map/collective machinery adds — so t_N - N*t_1 bounds the
+    per-step collective+regroup overhead of the tile sharding (whose only
+    cross-device traffic is one scalar int32 psum; see parallel/mesh.py).
+    CPU collectives are not ICI, but the sharded program structure (psum
+    insertion, per-device partitioning) is identical."""
     import jax
     import jax.numpy as jnp
 
@@ -159,12 +168,14 @@ def _measure_mesh(n_devices: int, n_spp: int) -> None:
     from raytracer_odin_tpu.render import accum
 
     w, h, depth = 192, 108, 4
+    n_tile = n_devices // n_spp
+    if rows_per_dev:
+        h = rows_per_dev * n_tile
     info = assets.generate("demo", SCENE_DIR)
     host = gltf.read_gltf(info["gltf"])
     scene = build.finish_scene(host)
     fov_x = host.cam.fov_x * (w / h)
 
-    n_tile = n_devices // n_spp
     m = pmesh.make_mesh(n_tile=n_tile, n_spp=n_spp)
     cfg = RenderConfig(
         width=w, height=h, ray_depth=depth, samples=1 << 30,
@@ -186,16 +197,19 @@ def _measure_mesh(n_devices: int, n_spp: int) -> None:
     jax.block_until_ready(stats.count)
     dt = time.perf_counter() - t0
 
-    rows_per_dev = h_pad // n_tile
     print(json.dumps({
-        "metric": "virtual-mesh sharded render (load-balance dryrun)",
+        "metric": (
+            "virtual-mesh weak-scaling step (fixed per-device work)"
+            if rows_per_dev
+            else "virtual-mesh sharded render (load-balance dryrun)"
+        ),
         "devices": n_devices,
         "mesh": f"{n_tile}x{n_spp} (tile x spp)",
         "resolution": f"{w}x{h}",
-        "rows_per_device": rows_per_dev,
+        "rows_per_device": h_pad // n_tile,
         "padded_rows": h_pad - h,
         "rays_per_step": int(rays) // (n_steps + 1),
-        "seconds_per_step": round(dt / n_steps, 3),
+        "seconds_per_step": round(dt / n_steps, 4),
         "note": "virtual CPU devices share one core; wall-clock is not a "
                 "scaling claim",
     }))
@@ -237,7 +251,8 @@ def main(scene_name: str = "demo") -> int:
     return 1
 
 
-def _mesh_main(n_devices: int, n_spp: int) -> int:
+def _mesh_main(n_devices: int, n_spp: int, rows_per_dev: int = 0,
+               capture: bool = False):
     """Re-exec with the CPU platform forced before jax initializes."""
     import os
 
@@ -252,10 +267,51 @@ def _mesh_main(n_devices: int, n_spp: int) -> int:
     )
     proc = subprocess.run(
         [sys.executable, __file__, "--mesh-child",
-         str(n_devices), str(n_spp)],
-        env=env, text=True, timeout=2400,
+         str(n_devices), str(n_spp), str(rows_per_dev)],
+        env=env, text=True, timeout=2400, capture_output=capture,
     )
-    return proc.returncode
+    if not capture:
+        return proc.returncode
+    for ln in (proc.stdout or "").splitlines():
+        if ln.startswith("{"):
+            return json.loads(ln)
+    raise RuntimeError(proc.stderr[-2000:] if proc.stderr else "mesh child failed")
+
+
+def _scaling_main(rows_per_dev: int = 32) -> int:
+    """VERDICT r4 item 4: measure the sharded step at FIXED per-device work
+    for 1/2/4/8 devices on the virtual CPU mesh and report the collective
+    overhead fraction the 'N chips ~ N x single-chip' claim depends on.
+
+    All virtual devices share ONE host core here, so ideal weak scaling is
+    t_N = N * t_1 (serialized compute, zero-cost collectives); the measured
+    overhead_frac_N = (t_N - N*t_1) / t_N is an upper bound on what the
+    shard_map partitioning + psum machinery adds per step. Prints one JSON
+    line with the table."""
+    rows = []
+    for n in (1, 2, 4, 8):
+        r = _mesh_main(n, 1, rows_per_dev, capture=True)
+        rows.append(r)
+    t1 = rows[0]["seconds_per_step"]
+    table = []
+    for r in rows:
+        n = r["devices"]
+        tn = r["seconds_per_step"]
+        table.append({
+            "devices": n,
+            "seconds_per_step": tn,
+            "ideal_serialized": round(n * t1, 4),
+            "overhead_frac": round(max(0.0, tn - n * t1) / tn, 4),
+        })
+    print(json.dumps({
+        "metric": "virtual-mesh weak scaling (fixed per-device work, "
+                  "1 shared host core)",
+        "rows_per_device": rows_per_dev,
+        "table": table,
+        "collectives_per_step": "one int32 psum (ray count); stats stay "
+                                "device-local on the tile axis",
+    }))
+    return 0
 
 
 if __name__ == "__main__":
@@ -266,7 +322,10 @@ if __name__ == "__main__":
         _measure(scene_name)
     elif "--mesh-child" in sys.argv:
         i = sys.argv.index("--mesh-child")
-        _measure_mesh(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+        _measure_mesh(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
+                      int(sys.argv[i + 3]) if len(sys.argv) > i + 3 else 0)
+    elif "--scaling" in sys.argv:
+        sys.exit(_scaling_main())
     elif "--devices" in sys.argv:
         i = sys.argv.index("--devices")
         nd = int(sys.argv[i + 1])

@@ -300,6 +300,70 @@ def _shade_vertex(scene, o, d, t, tri_idx, alive, uniforms, opts,
             ev, hit, missed)
 
 
+def _shade_vertex_cols(scene, o, d, t, tri_idx, alive, uniforms, opts,
+                       has_lights, throughput, radiance):
+    """Columnar `_shade_vertex`: o/d/throughput/radiance are (x, y, z)
+    column tuples, uniforms a 6-tuple of columns. Same operations in the
+    same order (env on miss, emission with the pre-update throughput, the
+    value/pdf continuation rule) — the shade math runs through
+    ops/shading_cols.py because [N, 3] operands cap these fusions at a
+    fraction of HBM bandwidth (tools/layout_probe.py: columnar 3.14x).
+
+    The consolidated material row keeps its tuned [N, k] row-slice form
+    (gather-bound, not layout-bound): o/d are stacked once for
+    `_point_material` and its [N, 3] outputs are split back into columns
+    at this boundary.
+
+    Returns (pos, new_d, throughput, radiance, cont) as column tuples;
+    pos/new_d are garbage on dead lanes (masked by the caller).
+    """
+    from raytracer_odin_tpu.ops import shading_cols
+    from raytracer_odin_tpu.utils import vec3c as v3c
+
+    hit = (tri_idx >= 0) & alive
+    missed = (~(tri_idx >= 0)) & alive
+
+    if scene.env_tex >= 0:
+        env = texture.sample_env_cols(scene, d, scene.env_tex)
+        radiance = tuple(
+            radiance[c] + jnp.where(missed, throughput[c] * env[c], 0.0)
+            for c in range(3)
+        )
+
+    m = _point_material(scene, v3c.stack(o), v3c.stack(d), t, tri_idx)
+    flip = m["inside"]
+    n3 = m["normal"]
+    normal = tuple(
+        jnp.where(flip, -n3[..., c], n3[..., c]) for c in range(3)
+    )
+    pos = (o[0] + d[0] * t, o[1] + d[1] * t, o[2] + d[2] * t)
+    color = v3c.splat(m["color"])
+    emission = v3c.splat(m["emission"])
+    rough = m["roughness"]
+    metal = m["metallic"]
+
+    new_d = shading_cols.sample_direction(
+        scene, pos, normal, rough, d, uniforms, has_lights
+    )
+    pdf = shading_cols.mixture_pdf(
+        scene, pos, normal, rough, d, new_d, has_lights,
+        light_chunk=opts.light_chunk,
+    )
+    value = shading_cols.shade(color, normal, metal, rough, d, new_d)
+
+    radiance = tuple(
+        radiance[c] + jnp.where(hit, throughput[c] * emission[c], 0.0)
+        for c in range(3)
+    )
+    # Continuation rule (raytracer.odin:495): NaN compares false.
+    cont = (v3c.norm_l1(value) / pdf > 1e-5) & hit
+    throughput = tuple(
+        jnp.where(cont, throughput[c] * (value[c] / pdf), throughput[c])
+        for c in range(3)
+    )
+    return pos, new_d, throughput, radiance, cont
+
+
 def trace(scene, o, d, rng, opts: TraceOptions, stream_ids=None,
           stream_base=None):
     """Trace radiance for a batch of rays.
@@ -495,10 +559,13 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
                      stream_base=None):
     """Dead-lane-compacted wavefront (TraceOptions.lane_schedule).
 
-    Identical physics to `trace` (shared `_shade_vertex`/`eval_bounce`) and
-    the identical sample set (counter-addressed RNG rides the carried
-    stream ids), re-scheduled so every per-bounce stage runs at the static
-    lane budget schedule[b-1] instead of full width:
+    Identical physics to `trace` — the shade stage runs through
+    `_shade_vertex_cols` / ops/shading_cols.py, an op-for-op columnar
+    mirror of `_shade_vertex` / ops/shading.py (parity pinned by
+    tests/test_shading_cols.py) — and the identical sample set
+    (counter-addressed RNG rides the carried stream ids), re-scheduled so
+    every per-bounce stage runs at the static lane budget schedule[b-1]
+    instead of full width:
 
       bounce 0   tiled full-width cast + shade (camera rays, image order)
       bounce b   exact masks -> lexicographic (dead|octant, masks) sort of
@@ -530,43 +597,50 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
     schedule = opts.lane_schedule
 
     # ---- bounce 0: full width, image order (camera rays are coherent) ----
-    alive = jnp.ones(batch_shape, bool)
+    # The cast takes the camera rays in their native [N, 3] form; the state
+    # is then flattened, padded to an RB multiple and SPLIT INTO COLUMNS
+    # once — from here on no [N, 3] per-lane state exists on this path
+    # (columns sort, cast and shade at full lane efficiency; see
+    # utils/vec3c.py). Padding lanes are dead (tri_idx -1) and get merge
+    # ids >= n0, so the final merge sorts them past the image.
     rays = jnp.asarray(n0, jnp.int32)
     alive_counts = [rays]
     t, tri_idx, _bu, _bv = traverse.cast_rays(
         scene, o, d, intersector="pallas", sort=False
     )
-    uniforms = prng.uniforms(base_key, sample, 0, stream_ids, 6)
-    throughput = jnp.ones(batch_shape + (3,), jnp.float32)
-    radiance = jnp.zeros(batch_shape + (3,), jnp.float32)
-    o, d, throughput, radiance, alive, _ev, _hit, _missed = _shade_vertex(
-        scene, o, d, t, tri_idx, alive, uniforms, opts, has_lights,
-        throughput, radiance,
-    )
+    pad = n0p - n0
+    iota = jnp.arange(n0p, dtype=jnp.int32)
 
-    # Flatten and pad once to an RB multiple. Padding lanes are dead and
-    # get merge ids >= n0, so the final merge sorts them past the image.
-    def flat(x):
-        return x.reshape((n0,) + x.shape[len(batch_shape):])
+    def flatpad(x, fill=0):
+        x = x.reshape((n0,) + x.shape[len(batch_shape):])
+        if pad:
+            widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+            x = jnp.pad(x, widths, constant_values=fill)
+        return x
 
-    o2, d2 = flat(o), flat(d)
-    thr, rad = flat(throughput), flat(radiance)
-    alive = flat(alive)
     # With an affine stream promise the per-lane stream id is a pure
     # function of the carried lane id (stream_base + iota), so it rides the
     # sorts for free instead of costing a payload column per bounce.
     affine = stream_base is not None
-    stream = None if affine else flat(stream_ids)
-    iota = jnp.arange(n0p, dtype=jnp.int32)
-    pad = n0p - n0
-    if pad:
-        o2 = jnp.pad(o2, ((0, pad), (0, 0)))
-        d2 = jnp.pad(d2, ((0, pad), (0, 0)))
-        thr = jnp.pad(thr, ((0, pad), (0, 0)))
-        rad = jnp.pad(rad, ((0, pad), (0, 0)))
-        alive = jnp.pad(alive, (0, pad))  # False
-        if not affine:
-            stream = jnp.pad(stream, (0, pad))
+    if affine:
+        stream = jnp.asarray(stream_base, jnp.int32) + iota
+    else:
+        stream = flatpad(stream_ids)
+    of, df = flatpad(o), flatpad(d)
+    o2 = (of[:, 0], of[:, 1], of[:, 2])
+    d2 = (df[:, 0], df[:, 1], df[:, 2])
+    t = flatpad(t)
+    tri_idx = flatpad(tri_idx, fill=-1)
+    alive = iota < n0
+    ones = jnp.ones((n0p,), jnp.float32)
+    zeros = jnp.zeros((n0p,), jnp.float32)
+    thr = (ones, ones, ones)
+    rad = (zeros, zeros, zeros)
+    uniforms = prng.uniforms_cols(base_key, sample, 0, stream, 6)
+    o2, d2, thr, rad, alive = _shade_vertex_cols(
+        scene, o2, d2, t, tri_idx, alive, uniforms, opts, has_lights,
+        thr, rad,
+    )
 
     # Exact per-ray masks at any scene size: bits cover super-clusters of
     # g_exact clusters (traverse.exact_cull_layout; g_exact == 1 for small
@@ -583,11 +657,6 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
     retired_r, retired_g, retired_b = [], [], []
     overflow = jnp.zeros((), jnp.int32)
     width = n0p
-    if affine:
-        stream = jnp.asarray(stream_base, jnp.int32) + iota
-
-    far_o = jnp.asarray([BIG, 0.0, 0.0], jnp.float32)
-    unit_x = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
 
     # MEASURED (r3c, real v5e): moving the state through the permutation as
     # sort PAYLOAD COLUMNS is the cheapest form, by a wide margin. The
@@ -601,9 +670,14 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
     # for wide per-lane state (see also the r2 5-separate-arrays negative
     # result in ARCHITECTURE.md).
     for b in range(1, depth):
-        # Dead lanes become degenerate far rays: empty masks, dead-last sort.
-        o_dead = jnp.where(alive[:, None], o2, far_o)
-        d_dead = jnp.where(alive[:, None], d2, unit_x)
+        # Dead lanes become degenerate far rays: empty masks, dead-last
+        # sort (far_o = [BIG, 0, 0], unit_x direction — columnar).
+        ocx = jnp.where(alive, o2[0], BIG)
+        ocy = jnp.where(alive, o2[1], 0.0)
+        ocz = jnp.where(alive, o2[2], 0.0)
+        dcx = jnp.where(alive, d2[0], 1.0)
+        dcy = jnp.where(alive, d2[1], 0.0)
+        dcz = jnp.where(alive, d2[2], 0.0)
 
         if (b - 1) % SORT_EVERY != 0:
             # Skip-sort bounce (RT_TPU_SORT_EVERY > 1, a measured
@@ -611,12 +685,10 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
             # No compaction (no slice, no retirement) — the permutation is
             # reused, the sort bill halves, and the exact-mask lists pay
             # whatever coherence decay one unsorted scatter causes.
-            ox_, oy_, oz_ = o_dead[:, 0], o_dead[:, 1], o_dead[:, 2]
-            dx_, dy_, dz_ = d_dead[:, 0], d_dead[:, 1], d_dead[:, 2]
-            zc = jnp.zeros_like(ox_)
+            zc = jnp.zeros_like(ocx)
             rays_pre = jnp.stack(
-                [ox_ + dx_ * RAY_EPS, oy_ + dy_ * RAY_EPS,
-                 oz_ + dz_ * RAY_EPS, dx_, dy_, dz_, zc, zc], axis=0,
+                [ocx + dcx * RAY_EPS, ocy + dcy * RAY_EPS,
+                 ocz + dcz * RAY_EPS, dcx, dcy, dcz, zc, zc], axis=0,
             )
             words_p = pi.cluster_masks_rows(aabb8, rays_pre, n_super)
             n_alive = jnp.sum(alive.astype(jnp.int32))
@@ -625,8 +697,8 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
             t, tri_idx, _bu, _bv = traverse.cast_presorted_rows(
                 scene, rays_pre, words=words_p
             )
-            uniforms = prng.uniforms(base_key, sample, b, stream, 6)
-            o2, d2, thr, rad, alive, _ev, _h, _m = _shade_vertex(
+            uniforms = prng.uniforms_cols(base_key, sample, b, stream, 6)
+            o2, d2, thr, rad, alive = _shade_vertex_cols(
                 scene, o2, d2, t, tri_idx, alive, uniforms, opts,
                 has_lights, thr, rad,
             )
@@ -634,13 +706,15 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
 
         s_width = schedule[b - 1] if b - 1 < len(schedule) else schedule[-1]
         s_width = max(rb, min(width, (int(s_width) // rb) * rb))
-        octant = traverse._ray_octant(d_dead)
-        ocx, ocy, ocz = o_dead[:, 0], o_dead[:, 1], o_dead[:, 2]
-        dcx, dcy, dcz = d_dead[:, 0], d_dead[:, 1], d_dead[:, 2]
+        octant = (
+            (dcx < 0).astype(jnp.int32)
+            + 2 * (dcy < 0).astype(jnp.int32)
+            + 4 * (dcz < 0).astype(jnp.int32)
+        )
         payload = (
             ocx, ocy, ocz, dcx, dcy, dcz,
-            thr[:, 0], thr[:, 1], thr[:, 2],
-            rad[:, 0], rad[:, 1], rad[:, 2],
+            thr[0], thr[1], thr[2],
+            rad[0], rad[1], rad[2],
             iota,
         ) + (() if affine else (stream,))
         # Mask-kernel rows straight from the payload columns (one axis-0
@@ -677,10 +751,10 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
 
         sox, soy, soz = (v[:s_width] for v in vals[0:3])
         sdx, sdy, sdz = (v[:s_width] for v in vals[3:6])
-        o2 = jnp.stack([sox, soy, soz], axis=-1)
-        d2 = jnp.stack([sdx, sdy, sdz], axis=-1)
-        thr = jnp.stack([v[:s_width] for v in vals[6:9]], axis=-1)
-        rad = jnp.stack([v[:s_width] for v in vals[9:12]], axis=-1)
+        o2 = (sox, soy, soz)
+        d2 = (sdx, sdy, sdz)
+        thr = tuple(v[:s_width] for v in vals[6:9])
+        rad = tuple(v[:s_width] for v in vals[9:12])
         iota = vals[12][:s_width]
         stream = (
             jnp.asarray(stream_base, jnp.int32) + iota
@@ -702,17 +776,17 @@ def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
         t, tri_idx, _bu, _bv = traverse.cast_presorted_rows(
             scene, rays_sorted, words=s_words
         )
-        uniforms = prng.uniforms(base_key, sample, b, stream, 6)
-        o2, d2, thr, rad, alive, _ev, _h, _m = _shade_vertex(
+        uniforms = prng.uniforms_cols(base_key, sample, b, stream, 6)
+        o2, d2, thr, rad, alive = _shade_vertex_cols(
             scene, o2, d2, t, tri_idx, alive, uniforms, opts,
             has_lights, thr, rad,
         )
 
     # ---- scatter-free merge: each lane id appears exactly once ----
     retired_iota.append(iota)
-    retired_r.append(rad[:, 0])
-    retired_g.append(rad[:, 1])
-    retired_b.append(rad[:, 2])
+    retired_r.append(rad[0])
+    retired_g.append(rad[1])
+    retired_b.append(rad[2])
     all_iota = jnp.concatenate(retired_iota)
     _, r0, r1, r2 = jax.lax.sort(
         (all_iota, jnp.concatenate(retired_r), jnp.concatenate(retired_g),

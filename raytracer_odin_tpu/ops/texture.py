@@ -114,6 +114,18 @@ def sample(scene, tex_id, uv, srgb: bool = False, default=(1.0, 1.0, 1.0, 1.0)):
     return jnp.where((tex_id >= 0)[..., None], out, default_arr)
 
 
+def sample_env_cols(scene, d, env_tex_id):
+    """Columnar `sample_env`: d is a (dx, dy, dz) column tuple, returns
+    (r, g, b) columns. The equirect mapping runs on pure columns; only the
+    2-wide uv stack and the quad-row gather keep array form."""
+    u = 0.5 + jnp.arctan2(d[2], d[0]) / (2.0 * jnp.pi)
+    v = 0.5 - jnp.arcsin(jnp.clip(d[1], -1.0, 1.0)) / jnp.pi
+    uv = jnp.stack([u, v], axis=-1)
+    tex_id = jnp.full(d[0].shape, env_tex_id, jnp.int32)
+    out = sample(scene, tex_id, uv, srgb=False, default=(0.0, 0.0, 0.0, 0.0))
+    return (out[..., 0], out[..., 1], out[..., 2])
+
+
 def sample_env(scene, d, env_tex_id):
     """Equirectangular environment lookup on ray miss
     (raytracer.odin:437-446): u = 0.5 + atan2(d.z, d.x)/tau,

@@ -70,6 +70,22 @@ def _blocks(a, b, c, n: int):
 JITTER_TAG = 0x7E11
 
 
+def uniforms_cols(key, samples, tags, sids, n: int):
+    """Tuple-of-columns form of `uniforms` (identical draws, no final
+    stack): the columnar shade stage (ops/shading_cols.py) consumes the n
+    uniforms as separate [N] columns, so materializing the [..., n] array
+    would only add a relayout."""
+    k0, k1 = key_words(key)
+    cast = lambda x: jnp.asarray(x).astype(_U32)  # noqa: E731
+    a = cast(samples) ^ k0
+    b = cast(tags) ^ k1
+    c = cast(sids)
+    outs = []
+    for blk in range((n + 3) // 4):
+        outs.extend(_pcg4d(a, b, c, jnp.full_like(c, _U32(blk))))
+    return tuple(_to_unit(w) for w in outs[:n])
+
+
 def uniforms(key, samples, tags, sids, n: int):
     """[..., n] uniforms addressed by (sample, tag, stream-id) counters
     under the scalar base `key`.
