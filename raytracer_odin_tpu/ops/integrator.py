@@ -47,6 +47,17 @@ from raytracer_odin_tpu.utils.math3d import dot, norm_l1, normalize
 # ARCHITECTURE.md journal); kept for re-measurement, not for use.
 SORT_EVERY = int(_os.environ.get("RT_TPU_SORT_EVERY", "1"))
 
+# Columnar wavefront state experiment (VERDICT r4 item 1b, r5): carry all
+# per-lane 3-vector state as separate component columns and shade through
+# ops/shading_cols.py. The ISOLATED shade chain measures 3.14x faster
+# columnar (tools/layout_probe.py) — but the full compacted step measured
+# 23.12 vs 28.37 Mrays/s on the demo bench (1.23x SLOWER): the
+# row<->column boundaries the isolated probe has none of (v3c.stack for
+# the consolidated material-row gather and the row-form light-pdf sweep,
+# splat back after) materialize relayout passes per bounce that eat the
+# fusion win. EXPERIMENTAL, default off; kept for re-measurement.
+COLS = int(_os.environ.get("RT_TPU_COLS", "0"))
+
 
 class TraceOptions(NamedTuple):
     depth: int = 8
@@ -556,6 +567,243 @@ def _compaction_applies(opts: TraceOptions) -> bool:
 
 
 def _trace_compacted(scene, o, d, rng, opts: TraceOptions, stream_ids,
+                     stream_base=None):
+    """Dead-lane-compacted wavefront (TraceOptions.lane_schedule).
+
+    Identical physics to `trace` (shared `_shade_vertex`/`eval_bounce`) and
+    the identical sample set (counter-addressed RNG rides the carried
+    stream ids), re-scheduled so every per-bounce stage runs at the static
+    lane budget schedule[b-1] instead of full width:
+
+      bounce 0   tiled full-width cast + shade (camera rays, image order)
+      bounce b   exact masks -> lexicographic (dead|octant, masks) sort of
+                 the FULL state (rays, throughput, radiance, stream, lane
+                 id) -> slice to schedule[b-1] lanes (alive lanes are a
+                 sorted prefix; the tail is dead and retires its radiance)
+                 -> presorted cast (no unsort) -> shade in sorted order
+      merge      every lane retires exactly once, so one concat + one sort
+                 by lane id rebuilds the image order scatter-free.
+
+    The reference analogue: recursion simply *ends* for dead paths
+    (raytracer.odin:495-496); here the batched wavefront stops paying for
+    them too, instead of masking. Overflow (more alive lanes than a slice)
+    is counted in aux["overflow"]; a nonzero count invalidates the render
+    and callers re-run uncompacted (see TraceOptions.lane_schedule).
+    """
+    if COLS:
+        return _trace_compacted_cols(
+            scene, o, d, rng, opts, stream_ids, stream_base=stream_base
+        )
+    from raytracer_odin_tpu.ops import pallas_intersect as pi
+    from raytracer_odin_tpu.ops.geometry import BIG, RAY_EPS
+
+    base_key, sample = rng
+    has_lights = scene.light_p.shape[0] > 0
+    batch_shape = o.shape[:-1]
+    n0 = 1
+    for s in batch_shape:
+        n0 *= s
+    rb = pi.RB
+    n0p = -(-n0 // rb) * rb
+    depth = opts.depth
+    schedule = opts.lane_schedule
+
+    # ---- bounce 0: full width, image order (camera rays are coherent) ----
+    alive = jnp.ones(batch_shape, bool)
+    rays = jnp.asarray(n0, jnp.int32)
+    alive_counts = [rays]
+    t, tri_idx, _bu, _bv = traverse.cast_rays(
+        scene, o, d, intersector="pallas", sort=False
+    )
+    uniforms = prng.uniforms(base_key, sample, 0, stream_ids, 6)
+    throughput = jnp.ones(batch_shape + (3,), jnp.float32)
+    radiance = jnp.zeros(batch_shape + (3,), jnp.float32)
+    o, d, throughput, radiance, alive, _ev, _hit, _missed = _shade_vertex(
+        scene, o, d, t, tri_idx, alive, uniforms, opts, has_lights,
+        throughput, radiance,
+    )
+
+    # Flatten and pad once to an RB multiple. Padding lanes are dead and
+    # get merge ids >= n0, so the final merge sorts them past the image.
+    def flat(x):
+        return x.reshape((n0,) + x.shape[len(batch_shape):])
+
+    o2, d2 = flat(o), flat(d)
+    thr, rad = flat(throughput), flat(radiance)
+    alive = flat(alive)
+    # With an affine stream promise the per-lane stream id is a pure
+    # function of the carried lane id (stream_base + iota), so it rides the
+    # sorts for free instead of costing a payload column per bounce.
+    affine = stream_base is not None
+    stream = None if affine else flat(stream_ids)
+    iota = jnp.arange(n0p, dtype=jnp.int32)
+    pad = n0p - n0
+    if pad:
+        o2 = jnp.pad(o2, ((0, pad), (0, 0)))
+        d2 = jnp.pad(d2, ((0, pad), (0, 0)))
+        thr = jnp.pad(thr, ((0, pad), (0, 0)))
+        rad = jnp.pad(rad, ((0, pad), (0, 0)))
+        alive = jnp.pad(alive, (0, pad))  # False
+        if not affine:
+            stream = jnp.pad(stream, (0, pad))
+
+    # Exact per-ray masks at any scene size: bits cover super-clusters of
+    # g_exact clusters (traverse.exact_cull_layout; g_exact == 1 for small
+    # scenes), expanded + interval-refined in cast_presorted.
+    _g_exact, n_super, aabb8 = traverse.exact_cull_layout(scene)
+
+    retired_iota = []
+    retired_rad = []
+    overflow = jnp.zeros((), jnp.int32)
+    width = n0p
+    if affine:
+        stream = jnp.asarray(stream_base, jnp.int32) + iota
+
+    far_o = jnp.asarray([BIG, 0.0, 0.0], jnp.float32)
+    unit_x = jnp.asarray([1.0, 0.0, 0.0], jnp.float32)
+
+    # MEASURED (r3c, real v5e): moving the state through the permutation as
+    # sort PAYLOAD COLUMNS is the cheapest form, by a wide margin. The
+    # consolidated-table alternative — sort (keys, position) only, then one
+    # [N, 13] row-gather — collapsed the sort bucket 85.7 -> 26.6 ms/step
+    # but the gather cost 126.8 ms/step: XLA laid the table out
+    # column-major ({0,1}: rows minor, so the kernel-row transposes were
+    # free) and each gathered row then touched 13 separate (8,128) tiles.
+    # Sort columns move at ~0.65 ns/element; big-array row gathers at
+    # ~15.6 ns/row. Payload-in-sort IS the TPU-native permutation mover
+    # for wide per-lane state (see also the r2 5-separate-arrays negative
+    # result in ARCHITECTURE.md).
+    for b in range(1, depth):
+        # Dead lanes become degenerate far rays: empty masks, dead-last sort.
+        o_dead = jnp.where(alive[:, None], o2, far_o)
+        d_dead = jnp.where(alive[:, None], d2, unit_x)
+
+        if (b - 1) % SORT_EVERY != 0:
+            # Skip-sort bounce (RT_TPU_SORT_EVERY > 1, a measured
+            # experiment): cast/shade in the PREVIOUS bounce's lane order.
+            # No compaction (no slice, no retirement) — the permutation is
+            # reused, the sort bill halves, and the exact-mask lists pay
+            # whatever coherence decay one unsorted scatter causes.
+            ox_, oy_, oz_ = o_dead[:, 0], o_dead[:, 1], o_dead[:, 2]
+            dx_, dy_, dz_ = d_dead[:, 0], d_dead[:, 1], d_dead[:, 2]
+            zc = jnp.zeros_like(ox_)
+            rays_pre = jnp.stack(
+                [ox_ + dx_ * RAY_EPS, oy_ + dy_ * RAY_EPS,
+                 oz_ + dz_ * RAY_EPS, dx_, dy_, dz_, zc, zc], axis=0,
+            )
+            words_p = pi.cluster_masks_rows(aabb8, rays_pre, n_super)
+            n_alive = jnp.sum(alive.astype(jnp.int32))
+            alive_counts.append(n_alive)
+            rays = rays + n_alive
+            t, tri_idx, _bu, _bv = traverse.cast_presorted_rows(
+                scene, rays_pre, words=words_p
+            )
+            uniforms = prng.uniforms(base_key, sample, b, stream, 6)
+            o2, d2, thr, rad, alive, _ev, _h, _m = _shade_vertex(
+                scene, o2, d2, t, tri_idx, alive, uniforms, opts,
+                has_lights, thr, rad,
+            )
+            continue
+
+        s_width = schedule[b - 1] if b - 1 < len(schedule) else schedule[-1]
+        s_width = max(rb, min(width, (int(s_width) // rb) * rb))
+        octant = traverse._ray_octant(d_dead)
+        ocx, ocy, ocz = o_dead[:, 0], o_dead[:, 1], o_dead[:, 2]
+        dcx, dcy, dcz = d_dead[:, 0], d_dead[:, 1], d_dead[:, 2]
+        payload = (
+            ocx, ocy, ocz, dcx, dcy, dcz,
+            thr[:, 0], thr[:, 1], thr[:, 2],
+            rad[:, 0], rad[:, 1], rad[:, 2],
+            iota,
+        ) + (() if affine else (stream,))
+        # Mask-kernel rows straight from the payload columns (one axis-0
+        # stack; the lane-major [N, 3] -> [8, N] transpose pack_rays would
+        # pay costs a full-width relayout per bounce).
+        zcol = jnp.zeros_like(ocx)
+        rays_pre = jnp.stack(
+            [ocx + dcx * RAY_EPS, ocy + dcy * RAY_EPS, ocz + dcz * RAY_EPS,
+             dcx, dcy, dcz, zcol, zcol], axis=0,
+        )
+        words_p = pi.cluster_masks_rows(aabb8, rays_pre, n_super)
+        keys, word_slots = traverse._lex_sort_keys(
+            alive, octant, [words_p[i] for i in range(words_p.shape[0])],
+            n_super,
+        )
+        sorted_ops = jax.lax.sort(
+            tuple(keys) + payload, num_keys=len(keys)
+        )
+        s_words = jnp.stack(
+            [sorted_ops[i][:s_width] for i in word_slots], axis=0
+        )
+        vals = sorted_ops[len(keys):]
+
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+        alive_counts.append(n_alive)
+        overflow = overflow + jnp.maximum(0, n_alive - s_width)
+
+        # The tail is dead (or overflow, which poisons the render): its
+        # radiance is final — retire it for the scatter-free merge.
+        retired_iota.append(vals[12][s_width:])
+        retired_rad.append(
+            jnp.stack(
+                [vals[9][s_width:], vals[10][s_width:], vals[11][s_width:]],
+                axis=-1,
+            )
+        )
+
+        sox, soy, soz = (v[:s_width] for v in vals[0:3])
+        sdx, sdy, sdz = (v[:s_width] for v in vals[3:6])
+        o2 = jnp.stack([sox, soy, soz], axis=-1)
+        d2 = jnp.stack([sdx, sdy, sdz], axis=-1)
+        thr = jnp.stack([v[:s_width] for v in vals[6:9]], axis=-1)
+        rad = jnp.stack([v[:s_width] for v in vals[9:12]], axis=-1)
+        iota = vals[12][:s_width]
+        stream = (
+            jnp.asarray(stream_base, jnp.int32) + iota
+            if affine else vals[13][:s_width]
+        )
+        alive = jnp.arange(s_width, dtype=jnp.int32) < n_alive
+        width = s_width
+
+        # Cast count: alive lanes are a sorted prefix, so the post-slice
+        # count is min(n_alive, s_width) exactly — no full-width reduce.
+        rays = rays + jnp.minimum(n_alive, s_width)
+        # Sweep-kernel rows from the sorted columns (RAY_EPS-offset; same
+        # cast_ray semantics as cast_presorted, raytracer.odin:416-430).
+        zs = jnp.zeros_like(sox)
+        rays_sorted = jnp.stack(
+            [sox + sdx * RAY_EPS, soy + sdy * RAY_EPS, soz + sdz * RAY_EPS,
+             sdx, sdy, sdz, zs, zs], axis=0,
+        )
+        t, tri_idx, _bu, _bv = traverse.cast_presorted_rows(
+            scene, rays_sorted, words=s_words
+        )
+        uniforms = prng.uniforms(base_key, sample, b, stream, 6)
+        o2, d2, thr, rad, alive, _ev, _h, _m = _shade_vertex(
+            scene, o2, d2, t, tri_idx, alive, uniforms, opts,
+            has_lights, thr, rad,
+        )
+
+    # ---- scatter-free merge: each lane id appears exactly once ----
+    retired_iota.append(iota)
+    retired_rad.append(rad)
+    all_iota = jnp.concatenate(retired_iota)
+    all_rad = jnp.concatenate(retired_rad, axis=0)
+    _, r0, r1, r2 = jax.lax.sort(
+        (all_iota, all_rad[:, 0], all_rad[:, 1], all_rad[:, 2]), num_keys=1
+    )
+    radiance = jnp.stack([r0, r1, r2], axis=-1)[:n0].reshape(
+        batch_shape + (3,)
+    )
+    aux = {
+        "rays_cast": rays,
+        "overflow": overflow,
+        "alive_counts": jnp.stack(alive_counts),
+    }
+    return radiance, aux
+
+
+def _trace_compacted_cols(scene, o, d, rng, opts: TraceOptions, stream_ids,
                      stream_base=None):
     """Dead-lane-compacted wavefront (TraceOptions.lane_schedule).
 

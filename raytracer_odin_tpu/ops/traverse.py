@@ -259,7 +259,7 @@ def exact_cull_layout(scene):
 
 
 def _sweep_exact(scene, words_packed, rays, g: int, n_super: int,
-                 cap: int = 192):
+                 cap: int = 256):
     """Per-block cluster lists from sorted per-ray super masks + the culled
     sweep, at the pallas_intersect.list_block(scene.ptri) lane granularity
     (RB_SUB for VMEM-resident scenes: tighter unions inside an unchanged
@@ -308,8 +308,16 @@ def _sweep_exact(scene, words_packed, rays, g: int, n_super: int,
     out = None
     for a in range(0, n_clusters, chunk_c):
         b = min(n_clusters, a + chunk_c)
+        # Per-chunk lists cover the WHOLE chunk (cap == chunk width), so the
+        # count == -1 overflow sentinel is unreachable: no block ever falls
+        # back to sweeping the entire chunk. tools/city_list_stats.py named
+        # cap-overflow full-chunk sweeps as the city path's dominant wasted
+        # work; SMEM stays bounded because intersect_culled_rows splits the
+        # call into ray super-chunks from lists.shape[1] (city chunks are
+        # 384 clusters -> 385 i32/row, ~227 blocks/call at the 700 kB
+        # budget).
         counts, lists = culling.build_lists(
-            bmask[:, a:b], cap=cap,
+            bmask[:, a:b], cap=None,
             near=None if near is None else near[:, a:b],
         )
         ptri_c = jax.lax.slice_in_dim(
@@ -326,7 +334,7 @@ def _sweep_exact(scene, words_packed, rays, g: int, n_super: int,
     return out
 
 
-def _two_phase_exact(scene, rays, words, n_super: int, aabb8, cap: int = 192):
+def _two_phase_exact(scene, rays, words, n_super: int, aabb8, cap: int = 256):
     """Two-phase t-bounded exact culling (TWO_PHASE_K; g == 1 VMEM-resident
     scenes). Phase A sweeps each block's K nearest exact-list clusters;
     phase B re-masks with the per-ray occlusion bound t_A (mask kernel
@@ -404,7 +412,7 @@ def cast_presorted_rows(scene, rays, words=None):
         mask, near = culling.cull_clusters(
             o_lo, o_hi, d_lo, d_hi, scene.cluster_lo, scene.cluster_hi
         )
-        counts, lists = culling.build_lists(mask, cap=192, near=near)
+        counts, lists = culling.build_lists(mask, cap=256, near=near)
         out = pi.intersect_culled_rows(scene.ptri, counts, lists, rays)
     t, idx = pi.unpack_hits(out, (n,), n)
     t = jnp.where(idx >= 0, t + RAY_EPS, BIG)
@@ -572,7 +580,7 @@ def cast_rays_pallas(scene, o, d, culled: bool = True, sort: bool = False,
         # Capped list length bounds the SMEM footprint of scalar prefetch —
         # rare overflow blocks sweep all clusters inside the kernel
         # (correct, just unculled).
-        counts, lists = culling.build_lists(mask, cap=192, near=near)
+        counts, lists = culling.build_lists(mask, cap=256, near=near)
         out = pi.intersect_culled_rows(scene.ptri, counts, lists, rays2)
         t, idx = pi.unpack_hits(out, (n,), n)
     else:

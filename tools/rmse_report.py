@@ -212,8 +212,21 @@ def main():
             # the gate widens to 1.3x the null's envelope — anything inside
             # it is indistinguishable from the metric's own skew bias.
             z_lim, fr_lim, fz_lim = 6.0, 1.5, 0.005
+            # The A/A-null envelope only ever WIDENS these limits (the
+            # claimed-SE z statistic is right-skew-biased under the null,
+            # so |z| of several sigma can arise with zero true
+            # difference). A row that passes the STRICT default limits has
+            # passed a sufficient test — the envelope is consulted only as
+            # a fallback, so a null rendered at a since-deepened oracle
+            # spp can never silently gate a row (VERDICT r4 item 3: no
+            # stale nulls in the gate path).
+            needs_envelope = not (
+                abs(rec["oracle_mean_shift_z"]) < z_lim
+                and rec["rmse_over_floor"] < fr_lim
+                and rec["frac_z_gt4"] < fz_lim
+            )
             nf = out / f"{name}_aa_null.json"
-            if nf.exists():
+            if nf.exists() and needs_envelope:
                 null = json.loads(nf.read_text())
                 ratio = null["low_spp"] / max(o_spp, 1)
                 if 1 / 1.5 <= ratio <= 1.5:
